@@ -1,0 +1,83 @@
+"""Run StaticFusion-TPU on a PNG sequence with an association file.
+
+The reference's StaticFusion-imagesequenceassoc.cpp, headless:
+  python apps/run_sequence.py <dataset_dir> [--assoc rgbd_assoc.txt]
+      [--depth-scale 1000] [--out traj.txt] [--ply map.ply]
+      [--metrics metrics.jsonl] [--max-frames N] [--viz dir]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("dataset_dir")
+    ap.add_argument("--assoc", default="rgbd_assoc.txt")
+    ap.add_argument("--depth-scale", type=float, default=1000.0,
+                    help="depth units per meter (TUM PNGs: 5000)")
+    ap.add_argument("--res-factor", type=int, default=2)
+    ap.add_argument("--out", default="trajectory.txt")
+    ap.add_argument("--ply", default=None)
+    ap.add_argument("--metrics", default=None)
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--viz", default=None,
+                    help="directory for per-frame viz panels")
+    ap.add_argument("--gt", default=None, help="groundtruth.txt for ATE")
+    ap.add_argument("--checkpoint", default=None)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from staticfusion_tpu.config import SFConfig
+    from staticfusion_tpu.io import tum
+    from staticfusion_tpu.io.ply import save_ply
+    from staticfusion_tpu.pipeline.system import SlamSystem
+    from staticfusion_tpu.utils.metrics import MetricsLogger
+
+    seq = tum.TumSequence(args.dataset_dir, args.assoc,
+                          res_factor=args.res_factor,
+                          depth_scale=args.depth_scale,
+                          gt_file=args.gt or "groundtruth.txt")
+    config = SFConfig()
+    slam = SlamSystem(config, initial_pose=seq.initial_gt_pose())
+    logger = MetricsLogger(args.metrics, echo=args.metrics is None)
+
+    for i, (rgb, depth_mm, ts) in enumerate(seq):
+        if args.max_frames and i >= args.max_frames:
+            break
+        out = slam.process(rgb, depth_mm, ts)
+        if out is not None:
+            logger.log(frame=i, surfels=int(out.surfel_count),
+                       dense=bool(out.dense),
+                       fps=1.0 / max(slam.frame_seconds[-1], 1e-9))
+            if args.viz:
+                from staticfusion_tpu.viz.offline import save_frame_panels
+
+                os.makedirs(args.viz, exist_ok=True)
+                save_frame_panels(os.path.join(args.viz, f"frame_{i:05d}.png"),
+                                  rgb, depth_mm, out)
+
+    slam.write_trajectory(args.out)
+    print(f"wrote {len(slam.poses)} poses to {args.out}")
+    if seq.gt_times is not None:
+        ate = slam.ate(seq.gt_times, seq.gt_poses)
+        print(f"ATE RMSE vs groundtruth: {ate:.4f} m")
+        logger.log(ate_rmse=ate)
+    if args.ply:
+        save_ply(args.ply, slam.state.smap,
+                 config.fusion.confidence_threshold)
+        print(f"wrote surfel map to {args.ply}")
+    if args.checkpoint:
+        from staticfusion_tpu.utils.checkpoint import save_state
+
+        save_state(args.checkpoint, slam.state)
+        print(f"wrote checkpoint to {args.checkpoint}")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Benchmark harness: steady-state SLAM fps at QVGA on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's real-time intent of 30 Hz at QVGA on a desktop
+CPU+GPU (BASELINE.md — no published numbers exist; README.md:60,97).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from staticfusion_tpu.config import SFConfig, FusionConfig
+    from staticfusion_tpu.io import synthetic
+    from staticfusion_tpu.pipeline.state import init_state
+    from staticfusion_tpu.pipeline.step import Frame, bootstrap_step, slam_step
+
+    n_warmup = int(os.environ.get("SF_BENCH_WARMUP", "3"))
+    n_iters = int(os.environ.get("SF_BENCH_ITERS", "20"))
+    capacity = int(os.environ.get("SF_BENCH_CAPACITY", str(1 << 20)))
+
+    config = SFConfig(fusion=FusionConfig(capacity=capacity))
+
+    twist = np.array([0.004, -0.002, 0.006, 0.0015, -0.001, 0.002], np.float32)
+    frames, _ = synthetic.make_sequence(config, 6, twist)
+
+    def to_frame(i):
+        rgb, depth_mm, _ = frames[i % len(frames)]
+        return Frame(rgb=jax.numpy.asarray(rgb),
+                     depth_mm=jax.numpy.asarray(depth_mm))
+
+    state, _ = bootstrap_step(to_frame(0), to_frame(1),
+                              jax.numpy.eye(4), config)
+
+    frame = to_frame(2)
+    for _ in range(n_warmup):
+        state, out = slam_step(state, frame, config)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        state, out = slam_step(state, to_frame(2 + (i % 3)), config)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    fps = n_iters / dt
+    print(json.dumps({
+        "metric": "slam_fps_qvga_1chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,194 @@
+"""Configuration for the StaticFusion-TPU pipeline.
+
+One frozen dataclass tree replaces the reference's scattered public-member
+parameter pokes (ctor defaults at FrontEnd.cpp:65-76 vs. the mains' overrides
+at StaticFusion-datasets.cpp:79-94).  Everything that affects traced shapes is
+here and static, so one `SFConfig` == one compiled program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from typing import Optional, Tuple
+
+NUM_CLUSTERS = 24  # StaticFusion.h:61
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Joint odometry + segmentation solver parameters.
+
+    Defaults follow the datasets main (StaticFusion-datasets.cpp:79-94),
+    which overrides the ctor defaults (FrontEnd.cpp:65-76).
+    """
+
+    k_photometric_res: float = 0.15     # weight of photometric vs geometric residuals
+    irls_delta_threshold: float = 0.0015  # convergence on ||delta xi||_inf
+    max_iter_irls: int = 6
+    max_iter_per_level: int = 3
+    kc_cauchy: float = 0.5
+    kb: float = 1.5                      # static bias of the segmentation data term
+    kb_bootstrap: float = 1.05           # lenient warm-up value (StaticFusion-datasets.cpp:121,158)
+    kz: float = 1.5                      # depth-residual factor of the seg prior
+    lambda_reg: float = 0.35             # spatial regularization between connected clusters
+    lambda_prior: float = 0.5            # temporal prior weight
+    use_motion_filter: bool = True
+    previous_speed_const_weight: float = 0.1
+    previous_speed_eig_weight: float = 2.0
+    level_twist_convergence: float = 0.04  # early exit ||xi_level|| (FrontEnd.cpp:1130)
+    kmeans_iters: int = 10               # KMeans.cpp:142
+    kmeans_tol: float = 1e-2             # KMeans.cpp:227
+
+
+@dataclasses.dataclass(frozen=True)
+class FusionConfig:
+    """Surfel-map backend parameters (reference: Reconstruction/GlobalModel/IndexMap)."""
+
+    capacity: int = 1 << 22              # max surfels; reference VBO holds 3072^2 ~ 9.4M (GlobalModel.cpp:21)
+    confidence_threshold: float = 0.25   # FrontEnd.cpp:167
+    low_conf: float = 0.13               # Reconstruction.cpp:630
+    depth_max: float = 4.5               # FrontEnd.cpp:168
+    depth_min: float = 0.3               # depth_metric.frag:32 (300 mm gate)
+    index_factor: int = 4                # IndexMap.cpp:21 super-resolution factor
+    time_delta: int = 200                # Reconstruction.h (timeDelta window)
+    velocity_weight_cap: float = 0.15    # Reconstruction.cpp:274
+    velocity_weight_floor: float = 0.5   # Reconstruction.cpp:275
+    new_unstable_conf: float = 0.08      # data.vert:179
+    new_static_prob_gate: float = 0.5    # data.vert:178
+    assoc_depth_gate: float = 0.05       # data.vert:142 (|lambda dz| < 0.05)
+    assoc_normal_z_gate: float = 0.75    # data.vert:151
+    assoc_angle_gate: float = 0.5        # data.vert:151 (radians)
+    merge_radius_factor: float = 1.5     # update.vert:73 (newRadius < 1.5*oldRadius)
+    clean_redundant_count: int = 6       # copy_unstable.vert:116 (count > 6)
+    clean_free_space_count: int = 5      # copy_unstable.vert:116 (zCount > 5)
+    clean_unstable_age: int = 10         # copy_unstable.vert:~118
+    clean_unstable_conf: float = 0.5
+    dense_threshold: float = 0.25        # Reconstruction.cpp:232
+    dense_scale: int = 40                # imageBuff is rows/40 x cols/40 (Reconstruction.cpp:35)
+    predict_z_min: float = 0.4           # splat.vert:50 near cull
+    fillin_vertex_conf: float = 0.12     # fill_vertex.frag:52
+    fillin_static_gate: float = 0.6      # fill_vertex.frag:50
+    max_new_per_frame: int = 0           # 0 -> defaults to pixels per frame
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Camera geometry. Defaults: TUM-style QVGA with the reference FOV model.
+
+    The reference derives intrinsics from a fixed FOV (FrontEnd.cpp:57-63):
+      fx = 0.5*cols/tan(fovh/2), fy = 0.5*rows/tan(fovv/2), c = (cols/2, rows/2).
+    The CPU solver uses a separate pinhole with a single focal from fovh and
+    principal point ((cols-1)/2, (rows-1)/2) (FrontEnd.cpp:377-380,537).
+    """
+
+    width: int = 320
+    height: int = 240
+    fovh_deg: float = 62.5
+    fovv_deg: float = 48.5
+
+    @property
+    def fovh(self) -> float:
+        return math.pi * self.fovh_deg / 180.0
+
+    @property
+    def fovv(self) -> float:
+        return math.pi * self.fovv_deg / 180.0
+
+    @property
+    def fx(self) -> float:
+        return 0.5 * self.width / math.tan(0.5 * self.fovh)
+
+    @property
+    def fy(self) -> float:
+        return 0.5 * self.height / math.tan(0.5 * self.fovv)
+
+    @property
+    def cx(self) -> float:
+        return self.width / 2.0
+
+    @property
+    def cy(self) -> float:
+        return self.height / 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for the distributed build (no reference counterpart).
+
+    axes: `pix` shards image rows for solver reductions; `map` shards surfel
+    blocks for the fusion backend. Sizes multiply to the device count.
+    """
+
+    pix: int = 1
+    map: int = 1
+
+    @property
+    def n_devices(self) -> int:
+        return self.pix * self.map
+
+
+@dataclasses.dataclass(frozen=True)
+class SFConfig:
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    fusion: FusionConfig = dataclasses.field(default_factory=FusionConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    num_clusters: int = NUM_CLUSTERS
+    buffer_length: int = 5               # temporal residual ring (StaticFusion.h:96)
+    rescue_residual_threshold: float = 0.017  # SegmentationBackground.cpp:190
+
+    @property
+    def rows(self) -> int:
+        return self.camera.height
+
+    @property
+    def cols(self) -> int:
+        return self.camera.width
+
+    @property
+    def ctf_levels(self) -> int:
+        # FrontEnd.cpp:61 — log2(cols/40)+2; 5 levels at QVGA.
+        return int(math.log2(self.cols / 40)) + 2
+
+    def level_shape(self, level: int) -> Tuple[int, int]:
+        """(rows, cols) of pyramid level `level` (0 = finest)."""
+        s = 1 << level
+        return self.rows // s, self.cols // s
+
+    def replace(self, **kw) -> "SFConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "SFConfig":
+        raw = json.loads(text)
+        return SFConfig(
+            camera=CameraConfig(**raw.get("camera", {})),
+            solver=SolverConfig(**raw.get("solver", {})),
+            fusion=FusionConfig(**raw.get("fusion", {})),
+            mesh=MeshConfig(**raw.get("mesh", {})),
+            **{k: v for k, v in raw.items()
+               if k not in ("camera", "solver", "fusion", "mesh")},
+        )
+
+
+def solver_preset_ctor() -> SolverConfig:
+    """The reference ctor defaults (FrontEnd.cpp:65-76)."""
+    return SolverConfig(
+        irls_delta_threshold=1e-6,
+        max_iter_irls=10,
+        max_iter_per_level=2,
+        previous_speed_const_weight=0.05,
+        previous_speed_eig_weight=0.5,
+        kb=1.25,
+        use_motion_filter=False,
+    )
+
+
+def solver_preset_datasets() -> SolverConfig:
+    """The datasets main's overrides (StaticFusion-datasets.cpp:79-94)."""
+    return SolverConfig()

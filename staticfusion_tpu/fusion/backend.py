@@ -1,0 +1,72 @@
+"""Map backend orchestration: the `Reconstruction::fuseFrame` equivalent.
+
+Reference: Reconstruction.cpp:235-325 — velocity-based fusion weighting,
+predictIndices -> GlobalModel::fuse (associate + update) ->
+predictIndices -> GlobalModel::clean.
+
+All passes are pure functions over the SurfelMap pytree; `fuse_frame` is the
+single entry the pipeline jits.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from staticfusion_tpu.config import SFConfig
+from staticfusion_tpu.fusion.association import associate
+from staticfusion_tpu.fusion.clean import clean_and_insert
+from staticfusion_tpu.fusion.indexmap import predict_indices
+from staticfusion_tpu.fusion.surfels import SurfelMap
+from staticfusion_tpu.fusion.update import apply_updates
+from staticfusion_tpu.geometry.se3 import se3_inverse, so3_log
+
+
+def velocity_weighting(curr_pose: jnp.ndarray, last_pose: jnp.ndarray,
+                       weight_multiplier: float,
+                       config: SFConfig) -> jnp.ndarray:
+    """Down-weight fusion while the camera moves fast
+    (Reconstruction.cpp:262-282): w = max(1 - min(max(|dt|, |dr|), 0.15)/0.15,
+    0.5) * multiplier."""
+    fus = config.fusion
+    diff = se3_inverse(curr_pose) @ last_pose
+    dt = jnp.linalg.norm(diff[:3, 3])
+    dr = jnp.linalg.norm(so3_log(diff[:3, :3]))
+    w = jnp.minimum(jnp.maximum(dt, dr), fus.velocity_weight_cap)
+    return jnp.maximum(1.0 - w / fus.velocity_weight_cap,
+                       fus.velocity_weight_floor) * weight_multiplier
+
+
+class FuseResult(NamedTuple):
+    smap: SurfelMap
+    curr_pose: jnp.ndarray
+
+
+def fuse_frame(smap: SurfelMap,
+               curr_pose: jnp.ndarray,
+               T_odometry: jnp.ndarray,
+               raw_depth_m: jnp.ndarray,
+               filtered_depth_m: jnp.ndarray,
+               rgb: jnp.ndarray,
+               static_prob: jnp.ndarray,
+               tick: jnp.ndarray,
+               config: SFConfig,
+               weight_multiplier: float = 1.0) -> FuseResult:
+    """One steady-state map update (Reconstruction.cpp:261-313).
+
+    `tick` is the reconstruction frame counter (>= 2 here; tick 1 is
+    `initialise_map`)."""
+    last_pose = curr_pose
+    curr_pose = curr_pose @ T_odometry
+    weighting = velocity_weighting(curr_pose, last_pose, weight_multiplier,
+                                   config)
+
+    render = predict_indices(smap, curr_pose, tick, config)
+    assoc = associate(smap.capacity, render, raw_depth_m, filtered_depth_m,
+                      rgb, static_prob, curr_pose, tick, weighting, config)
+    smap = apply_updates(smap, assoc.updates, tick, config)
+
+    render2 = predict_indices(smap, curr_pose, tick, config)
+    smap = clean_and_insert(smap, render2, assoc.new, curr_pose, tick, config)
+    return FuseResult(smap=smap, curr_pose=curr_pose)

@@ -1,0 +1,145 @@
+"""Forward-splat inverse warping.
+
+Reference: `warpImagesAccurateInverse` (FrontEnd.cpp:775-892) and the
+identical splat in `computeResidualsAgainstPreviousImage`
+(FrontEnd.cpp:929-1037).  The *predicted* frame is transformed by
+T = T_odometry^{-1} and forward-splatted into the current frame's grid with
+the reference's fixed-point x100 weighting scheme:
+
+* sub-pixel position is quantized to 1/100 px (truncation toward zero);
+* if the position is within 0.05 px (L1, in the quirky min(dr,dl)+min(du,dd)
+  metric) of a grid point, a single scatter of weight 200 to the nearest
+  pixel; otherwise four scatters with *additive* (not bilinear-product)
+  weights delta_l+delta_d etc. — a reference quirk we reproduce exactly.
+
+TPU design: the per-pixel scalar scatter loop becomes four batched
+scatter-adds (`.at[].add`), which XLA lowers to deterministic combiner
+scatters on TPU.  Weight accumulation and normalization are fused VPU code.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from staticfusion_tpu.ops.pyramid import PyramidLevel
+
+
+class WarpedImages(NamedTuple):
+    depth: jnp.ndarray
+    intensity: jnp.ndarray
+    xx: jnp.ndarray
+    yy: jnp.ndarray
+
+
+def solver_camera_params(rows_i: int, cols_i: int, fovh: float):
+    f = float(cols_i) / (2.0 * math.tan(0.5 * fovh))
+    return f, 0.5 * (cols_i - 1), 0.5 * (rows_i - 1)
+
+
+def warp_forward_splat(src_depth: jnp.ndarray,
+                       src_intensity: jnp.ndarray,
+                       src_xx: jnp.ndarray,
+                       src_yy: jnp.ndarray,
+                       T: jnp.ndarray,
+                       fovh: float,
+                       extra_valid: jnp.ndarray | None = None):
+    """Splat (depth, intensity) of the source view through rigid transform T.
+
+    Returns (depth_w, intensity_w, weight_accum); zeros where nothing landed.
+    `extra_valid` optionally masks source pixels (used by the temporal
+    residual path which also requires current-frame depth != 0,
+    FrontEnd.cpp:954).
+    """
+    rows_i, cols_i = src_depth.shape
+    f, disp_u, disp_v = solver_camera_params(rows_i, cols_i, fovh)
+    dtype = src_depth.dtype
+
+    z = src_depth
+    valid = z != 0.0
+    if extra_valid is not None:
+        valid = valid & extra_valid
+
+    x_w = T[0, 0] * src_xx + T[0, 1] * src_yy + T[0, 2] * z + T[0, 3]
+    y_w = T[1, 0] * src_xx + T[1, 1] * src_yy + T[1, 2] * z + T[1, 3]
+    z_w = T[2, 0] * src_xx + T[2, 1] * src_yy + T[2, 2] * z + T[2, 3]
+
+    safe_z = jnp.where(z_w == 0.0, 1.0, z_w)
+    # Fixed-point x100 with C-style truncation toward zero (FrontEnd.cpp:819).
+    uwarp = (100.0 * (f * x_w / safe_z + disp_u)).astype(jnp.int32)
+    vwarp = (100.0 * (f * y_w / safe_z + disp_v)).astype(jnp.int32)
+
+    in_bounds = ((uwarp >= 0) & (uwarp < 100 * (cols_i - 1))
+                 & (vwarp >= 0) & (vwarp < 100 * (rows_i - 1)))
+    valid = valid & in_bounds
+
+    u_l = uwarp // 100          # uwarp >= 0 here, so // == truncation
+    v_d = vwarp // 100
+    delta_r = (u_l + 1) * 100 - uwarp          # in (0, 100]
+    delta_l = 100 - delta_r                    # in [0, 100)
+    delta_u = (v_d + 1) * 100 - vwarp
+    delta_d = 100 - delta_u
+
+    near = (jnp.minimum(delta_r, delta_l) + jnp.minimum(delta_u, delta_d)) < 5
+    ind_u = jnp.where(delta_r > delta_l, u_l, u_l + 1)
+    ind_v = jnp.where(delta_u > delta_d, v_d, v_d + 1)
+
+    # Four (target, weight) pairs; the near-integer case collapses to a single
+    # weight-200 scatter at the nearest pixel (FrontEnd.cpp:835-843).
+    w_ur = jnp.where(near, 0, delta_l + delta_d)
+    w_ul = jnp.where(near, 0, delta_r + delta_d)
+    w_dr = jnp.where(near, 0, delta_l + delta_u)
+    w_dl = jnp.where(near, 0, delta_r + delta_u)
+    w_near = jnp.where(near, 200, 0)
+
+    n = rows_i * cols_i
+    acc_d = jnp.zeros((n,), dtype)
+    acc_i = jnp.zeros((n,), dtype)
+    acc_w = jnp.zeros((n,), dtype)
+
+    def scatter(acc_d, acc_i, acc_w, tv, tu, w):
+        w = jnp.where(valid, w, 0).astype(dtype).ravel()
+        idx = (tv * cols_i + tu).ravel()
+        idx = jnp.where(w.reshape(-1) > 0, idx, 0)
+        acc_d = acc_d.at[idx].add(w * z_w.ravel())
+        acc_i = acc_i.at[idx].add(w * src_intensity.ravel())
+        acc_w = acc_w.at[idx].add(w)
+        return acc_d, acc_i, acc_w
+
+    acc_d, acc_i, acc_w = scatter(acc_d, acc_i, acc_w, v_d + 1, u_l + 1, w_ur)
+    acc_d, acc_i, acc_w = scatter(acc_d, acc_i, acc_w, v_d + 1, u_l, w_ul)
+    acc_d, acc_i, acc_w = scatter(acc_d, acc_i, acc_w, v_d, u_l + 1, w_dr)
+    acc_d, acc_i, acc_w = scatter(acc_d, acc_i, acc_w, v_d, u_l, w_dl)
+    acc_d, acc_i, acc_w = scatter(acc_d, acc_i, acc_w, ind_v, ind_u, w_near)
+
+    wacu = acc_w.reshape(rows_i, cols_i)
+    nonzero = wacu != 0.0
+    safe_w = jnp.where(nonzero, wacu, 1.0)
+    depth_w = jnp.where(nonzero, acc_d.reshape(rows_i, cols_i) / safe_w, 0.0)
+    intensity_w = jnp.where(nonzero, acc_i.reshape(rows_i, cols_i) / safe_w, 0.0)
+    return depth_w, intensity_w, wacu
+
+
+def warp_images_inverse(pred: PyramidLevel, T_odometry: jnp.ndarray,
+                        fovh: float) -> WarpedImages:
+    """Warp the prediction pyramid level into the current frame
+    (FrontEnd.cpp:775-892): splat through T_odometry^{-1}, normalize, and
+    recompute lateral coordinates on the target grid."""
+    from staticfusion_tpu.geometry.se3 import se3_inverse
+
+    rows_i, cols_i = pred.depth.shape
+    f, disp_u, disp_v = solver_camera_params(rows_i, cols_i, fovh)
+
+    T = se3_inverse(T_odometry)
+    depth_w, intensity_w, wacu = warp_forward_splat(
+        pred.depth, pred.intensity, pred.xx, pred.yy, T, fovh)
+
+    nonzero = wacu != 0.0
+    inv_f = 1.0 / f
+    uu = jnp.arange(cols_i, dtype=depth_w.dtype)[None, :] - disp_u
+    vv = jnp.arange(rows_i, dtype=depth_w.dtype)[:, None] - disp_v
+    xx_w = jnp.where(nonzero, uu * depth_w * inv_f, 0.0)
+    yy_w = jnp.where(nonzero, vv * depth_w * inv_f, 0.0)
+    return WarpedImages(depth=depth_w, intensity=intensity_w, xx=xx_w, yy=yy_w)

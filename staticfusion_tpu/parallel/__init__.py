@@ -1,0 +1,3 @@
+from staticfusion_tpu.parallel import mesh, sharded
+
+__all__ = ["mesh", "sharded"]

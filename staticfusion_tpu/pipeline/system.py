@@ -1,0 +1,83 @@
+"""Host-side SLAM driver: feeds frames to the jitted step functions and
+collects trajectories/metrics.
+
+This replaces the reference mains' per-frame loop
+(StaticFusion-datasets.cpp:103-204) — but where the reference bounces data
+between CPU solver and GL textures six times a frame, here the device holds
+all state; the host only uploads the frame and downloads a pose and a few
+scalars.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from staticfusion_tpu.config import SFConfig
+from staticfusion_tpu.io import trajectory as traj_io
+from staticfusion_tpu.pipeline.step import (Frame, StepOutputs, bootstrap_step,
+                                            slam_step)
+
+
+class SlamSystem:
+    """Feed frames with `process(rgb, depth_mm, timestamp)`; read
+    `poses`/`times` or call `ate()` against ground truth."""
+
+    def __init__(self, config: SFConfig,
+                 initial_pose: Optional[np.ndarray] = None):
+        self.config = config
+        self.state = None
+        self._pending = None  # buffered first frame until bootstrap
+        self.initial_pose = (np.eye(4, dtype=np.float32)
+                             if initial_pose is None else initial_pose)
+        self.times: List[float] = []
+        self.poses: List[np.ndarray] = []
+        self.metrics: List[dict] = []
+        self.frame_seconds: List[float] = []
+
+    def _to_frame(self, rgb: np.ndarray, depth_mm: np.ndarray) -> Frame:
+        return Frame(rgb=jnp.asarray(rgb, jnp.float32),
+                     depth_mm=jnp.asarray(depth_mm, jnp.float32))
+
+    def process(self, rgb: np.ndarray, depth_mm: np.ndarray,
+                timestamp: float) -> Optional[StepOutputs]:
+        t0 = time.perf_counter()
+        frame = self._to_frame(rgb, depth_mm)
+        if self.state is None and self._pending is None:
+            self._pending = (frame, timestamp)
+            return None
+        if self.state is None:
+            frame0, _ = self._pending
+            self._pending = None
+            self.state, out = bootstrap_step(
+                frame0, frame, jnp.asarray(self.initial_pose), self.config)
+        else:
+            self.state, out = slam_step(self.state, frame, self.config)
+        pose = np.asarray(out.curr_pose)
+        self.times.append(timestamp)
+        self.poses.append(pose)
+        self.frame_seconds.append(time.perf_counter() - t0)
+        self.metrics.append({
+            "timestamp": timestamp,
+            "surfels": int(out.surfel_count),
+            "dense": bool(out.dense),
+            "ddt_sum": float(out.ddt_sum),
+        })
+        return out
+
+    def block(self):
+        if self.state is not None:
+            jax.block_until_ready(self.state)
+
+    def write_trajectory(self, path: str) -> None:
+        traj_io.write_tum_trajectory(path, self.times, self.poses)
+
+    def ate(self, gt_times: np.ndarray, gt_poses: np.ndarray,
+            max_dt: float = 0.05) -> float:
+        return traj_io.ate_rmse(np.asarray(self.times),
+                                np.stack(self.poses), gt_times, gt_poses,
+                                max_dt=max_dt)

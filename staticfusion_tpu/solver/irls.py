@@ -1,0 +1,166 @@
+"""Joint odometry + segmentation IRLS solver.
+
+Reference: `solveOdometryAndSegmJoint` (FrontEnd.cpp:513-692),
+`filterEstimateAndComputeT` (FrontEnd.cpp:713-772).
+
+Design: the dense 2N x 6 Jacobian never materializes as pixel loops — the
+photometric and geometric rows (FrontEnd.cpp:550-585) are built as two
+(rows*cols, 6) arrays in one fused elementwise pass; invalid pixels carry
+zero pre-weights so their rows vanish without masking.  Each IRLS iteration
+is two skinny matmuls (A^T W A, A^T W b) on the MXU followed by a 6x6 solve,
+alternating with the 24x24 segmentation solve — the paper's core coupling.
+The data-dependent convergence break becomes a `done` mask in a fori_loop.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from staticfusion_tpu.config import SFConfig, NUM_CLUSTERS
+from staticfusion_tpu.ops.derivatives import Derivatives, InterCoords, PreWeights
+from staticfusion_tpu.solver.segmentation import SegPrior, solve_segm_iteration
+
+
+class JacobianSystem(NamedTuple):
+    A_c: jnp.ndarray   # (N, 6) photometric rows
+    B_c: jnp.ndarray   # (N,)
+    A_d: jnp.ndarray   # (N, 6) geometric rows
+    B_d: jnp.ndarray   # (N,)
+    labels: jnp.ndarray  # (N,) int32 in [0, K]
+    valid_count: jnp.ndarray  # scalar — number of valid pixels
+
+
+class IRLSResult(NamedTuple):
+    twist: jnp.ndarray     # (6,) level solution
+    est_cov: jnp.ndarray   # (6, 6) covariance estimate
+    b_segm: jnp.ndarray    # (K,) cluster static scores
+    aver_res: jnp.ndarray  # scalar final average residual
+
+
+def build_jacobian(inter: InterCoords, deriv: Derivatives, w: PreWeights,
+                   labels: jnp.ndarray, config: SFConfig) -> JacobianSystem:
+    """Photometric + geometric rows of the range/optical-flow constraint
+    (FrontEnd.cpp:537-586) for twist xi = (vx, vy, vz, wx, wy, wz)."""
+    rows_i, cols_i = inter.depth.shape
+    f_inv = float(cols_i) / (2.0 * math.tan(0.5 * config.camera.fovh))
+
+    d = inter.depth
+    inv_d = jnp.where(d != 0.0, 1.0 / jnp.where(d != 0.0, d, 1.0), 0.0)
+    x, y = inter.xx, inter.yy
+
+    def rows6(du, dv, tw, geometric):
+        dy = du * f_inv * inv_d
+        dz = dv * f_inv * inv_d
+        g = 1.0 if geometric else 0.0
+        a0 = tw * (-dy)
+        a1 = tw * (-dz)
+        a2 = tw * (g + dy * x * inv_d + dz * y * inv_d)
+        a3 = tw * (g * y + dy * inv_d * y * x + dz * (y * y * inv_d + d))
+        a4 = tw * (-g * x - dy * (x * x * inv_d + d) - dz * inv_d * y * x)
+        a5 = tw * (dy * y - dz * x)
+        return jnp.stack([a0, a1, a2, a3, a4, a5], axis=-1).reshape(-1, 6)
+
+    twc = w.weights_c * config.solver.k_photometric_res
+    twd = w.weights_d
+    A_c = rows6(deriv.dcu, deriv.dcv, twc, geometric=False)
+    B_c = (twc * (-deriv.dct)).ravel()
+    A_d = rows6(deriv.ddu, deriv.ddv, twd, geometric=True)
+    B_d = (twd * (-deriv.ddt)).ravel()
+
+    return JacobianSystem(
+        A_c=A_c, B_c=B_c, A_d=A_d, B_d=B_d,
+        labels=labels.ravel().astype(jnp.int32),
+        valid_count=jnp.sum(inter.valid.astype(jnp.float32)),
+    )
+
+
+def _normal_equations(A_c, B_c, A_d, B_d, wc, wd):
+    """AtA, AtB with per-row IRLS weights (already including b_segm)."""
+    Awc = A_c * wc[:, None]
+    Awd = A_d * wd[:, None]
+    AtA = (jnp.einsum("ni,nj->ij", Awc, Awc, preferred_element_type=jnp.float32)
+           + jnp.einsum("ni,nj->ij", Awd, Awd, preferred_element_type=jnp.float32))
+    AtB = Awc.T @ (wc * B_c) + Awd.T @ (wd * B_d)
+    return AtA, AtB
+
+
+def solve_irls(sys: JacobianSystem, b_segm0: jnp.ndarray, prior: SegPrior,
+               reg_ata: jnp.ndarray, config: SFConfig, kb=None) -> IRLSResult:
+    """The coupled IRLS loop (FrontEnd.cpp:593-689)."""
+    s = config.solver
+    k = NUM_CLUSTERS
+    n2 = jnp.maximum(2.0 * sys.valid_count, 1.0)
+
+    res_c0, res_d0 = -sys.B_c, -sys.B_d
+    aver_res0 = (jnp.sum(jnp.abs(res_c0)) + jnp.sum(jnp.abs(res_d0))) / n2
+
+    b_ext = lambda b: jnp.concatenate([b, jnp.ones((1,), b.dtype)])
+    AtA0 = jnp.eye(6)
+
+    def body(_, carry):
+        (var, prev_sol, b_segm, res_c, res_d, aver_res, AtA_last, done) = carry
+
+        inv_c = 1.0 / (s.kc_cauchy * jnp.maximum(aver_res, 1e-20))
+        b_weight = jnp.clip(b_ext(b_segm)[sys.labels], 0.0, 1.0)
+        wc = b_weight * jnp.sqrt(1.0 / (1.0 + (res_c * inv_c) ** 2))
+        wd = b_weight * jnp.sqrt(1.0 / (1.0 + (res_d * inv_c) ** 2))
+
+        AtA, AtB = _normal_equations(sys.A_c, sys.B_c, sys.A_d, sys.B_d, wc, wd)
+        new_var = jnp.linalg.solve(AtA + 1e-12 * jnp.eye(6), AtB)
+
+        new_res_c = sys.A_c @ new_var - sys.B_c
+        new_res_d = sys.A_d @ new_var - sys.B_d
+
+        # Per-cluster average residuals (FrontEnd.cpp:650-667); the +1 pixel
+        # and /2 factors replicate the reference's accounting exactly.
+        ress = jnp.abs(new_res_c) + jnp.abs(new_res_d)
+        lbl = sys.labels
+        sums = jnp.zeros((k + 1,), ress.dtype).at[lbl].add(ress)[:k]
+        cnts = jnp.zeros((k + 1,), jnp.float32).at[lbl].add(
+            (lbl < k).astype(jnp.float32))[:k]
+        aver_res_label = sums / (2.0 * (cnts + 1.0))
+        aver_res_old = aver_res
+        new_aver_res = jnp.sum(sums) / n2
+
+        new_b = solve_segm_iteration(b_segm, aver_res_label, aver_res_old,
+                                     prior, reg_ata, config, kb=kb)
+
+        delta = jnp.max(jnp.abs(prev_sol - new_var))
+        new_done = done | (delta < s.irls_delta_threshold)
+
+        keep = lambda old, new: jnp.where(done, old, new)
+        return (keep(var, new_var), keep(prev_sol, new_var),
+                keep(b_segm, new_b), keep(res_c, new_res_c),
+                keep(res_d, new_res_d), keep(aver_res, new_aver_res),
+                keep(AtA_last, AtA), new_done)
+
+    init = (jnp.zeros((6,)), jnp.zeros((6,)), b_segm0, res_c0, res_d0,
+            aver_res0, AtA0, jnp.asarray(False))
+    var, _, b_segm, res_c, res_d, aver_res, AtA, _ = jax.lax.fori_loop(
+        0, s.max_iter_irls, body, init)
+
+    res_sq = jnp.sum(res_c * res_c) + jnp.sum(res_d * res_d)
+    est_cov = jnp.linalg.inv(AtA + 1e-12 * jnp.eye(6)) * res_sq  # FrontEnd.cpp:689
+    return IRLSResult(twist=var, est_cov=est_cov, b_segm=b_segm,
+                      aver_res=aver_res)
+
+
+def motion_filter(twist: jnp.ndarray, est_cov: jnp.ndarray,
+                  twist_old: jnp.ndarray, accumulated_twist: jnp.ndarray,
+                  level: int, config: SFConfig) -> jnp.ndarray:
+    """Low-pass the level twist in the eigenbasis of the covariance
+    (FrontEnd.cpp:713-756). `accumulated_twist` = log(T_odometry) so far."""
+    s = config.solver
+    eigvals, eigvecs = jnp.linalg.eigh(est_cov)
+    kai_b = eigvecs.T @ twist
+    kai_loc_sub = twist_old - accumulated_twist
+    kai_b_old = eigvecs.T @ kai_loc_sub
+    cf = s.previous_speed_eig_weight * math.exp(-level)
+    df = s.previous_speed_const_weight * math.exp(-level)
+    blend = cf * eigvals + df
+    kai_b_fil = (kai_b + blend * kai_b_old) / (1.0 + blend)
+    return eigvecs @ kai_b_fil

@@ -1,0 +1,25 @@
+"""Test harness: run everything on CPU with an 8-device virtual mesh so the
+sharding tests exercise real collectives without TPU hardware."""
+
+import os
+
+# Hard-set: the sandbox exports JAX_PLATFORMS=axon (remote TPU tunnel);
+# tests must run on local CPU with a virtual 8-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+# Persistent compile cache: first-trace XLA compiles dominate test time on
+# small CPUs; cache them across pytest invocations.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_pytest")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
