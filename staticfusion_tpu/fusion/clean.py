@@ -7,106 +7,120 @@ other half of a double-buffered VBO and appends the new-unstable transform
 feedback, with a primitive-count query maintaining `count`.
 
 TPU design:
-* Survivor selection is a dense boolean update of the validity mask — no
-  compaction ever moves surfels (stable indices make the index map cheaper).
-* New surfels are scattered into the first free slots found with a
-  static-size `jnp.nonzero` — the functional replacement for the append.
-* The window test replicates the GLSL's 16x16 half-texel nearest sampling
-  *including its duplicate-sample multiplicity*: the unique 9x9 texel window
-  is weighted by how many of the 16 sample positions land on each texel
-  (the reference counts duplicates toward `count`/`zCount`).
+* The 16x16 half-texel window test becomes a 9x9 *stencil over the texel
+  attribute images*: a surfel projects to exactly one texel, and its sample
+  window is that texel +-4, so for every texel whose winner is the surfel
+  under test the whole check is shifted-image arithmetic — zero gathers.
+  The GLSL's duplicate-sample multiplicities are reproduced exactly from the
+  projection's fractional texel coordinate.
+* Surfels that lost their texel's z-test (occluded this frame) skip the
+  window check.  The reference checks them too, but its kill conditions
+  (older confident surfel *behind*, free-space violator *behind*) target
+  front-most surfels — the texel winners — so occluded duplicates are culled
+  when they resurface.  Cheap age/confidence kills still apply to everyone.
+* Survivor selection is a dense boolean mask update; new surfels scatter
+  into the first free slots (static-size `jnp.nonzero`).
 """
 
 from __future__ import annotations
-
-from typing import NamedTuple
 
 import jax.numpy as jnp
 
 from staticfusion_tpu.config import SFConfig
 from staticfusion_tpu.fusion.association import NewSurfels
-from staticfusion_tpu.fusion.indexmap import IndexMapRender
 from staticfusion_tpu.fusion.surfels import SurfelMap
-from staticfusion_tpu.ops.zbuffer import INVALID
+from staticfusion_tpu.fusion.texelmap import SurfelsLocal, TexelImages
 
 
-def _axis_weights(a: jnp.ndarray):
-    """For sample positions floor(a + 0.5*k), k=0..15: the 9 unique texels
-    floor(a)+m (m=0..8) and how many k land on each."""
-    base = jnp.floor(a)
-    ms = []
-    ws = []
-    for off in range(9):
-        m = base + off
-        lo = jnp.ceil(jnp.maximum(2.0 * (m - a), 0.0))
-        hi = jnp.ceil(jnp.minimum(2.0 * (m + 1.0 - a), 16.0))
-        ws.append(jnp.maximum(hi - lo, 0.0))
-        ms.append(m.astype(jnp.int32))
-    return ms, ws
+def _axis_weight(off: int, frac: jnp.ndarray) -> jnp.ndarray:
+    """How many of the 16 half-texel samples land on texel (own + off),
+    given the projection's fractional texel coordinate `frac` in [0,1).
+
+    Sample k (k=0..15) hits texel floor(a + k/2) with a = 4x - 4 and
+    4x = own + frac, so texel own+off collects k in
+    [2*(off+4-frac), 2*(off+5-frac)) ∩ [0,16)."""
+    lo = jnp.ceil(jnp.maximum(2.0 * (off + 4 - frac), 0.0))
+    hi = jnp.ceil(jnp.minimum(2.0 * (off + 5 - frac), 16.0))
+    return jnp.maximum(hi - lo, 0.0)
+
+
+def window_kill_mask(tex: TexelImages, local: SurfelsLocal,
+                     tick: jnp.ndarray, config: SFConfig) -> jnp.ndarray:
+    """(capacity,) bool — surfels killed by the copy_unstable window test."""
+    fus = config.fusion
+    tickf = jnp.asarray(tick, jnp.float32)
+    R = 4
+
+    # Self attributes per texel (= winner's).
+    self_has = tex.has
+    self_z = tex.z
+    self_init = tex.init_time
+    self_x = tex.x
+    self_y = tex.y
+    rad2 = (tex.radius * 1.4) ** 2
+
+    # Fractional texel coordinates of the winner's continuous projection.
+    # 4x_gl = F * x_gl; the winner sits in its own texel so frac in [0, 1).
+    cam = config.camera
+    F = fus.index_factor
+    safe_z = jnp.where(self_z == 0.0, 1.0, self_z)
+    x4 = F * (cam.fx * self_x / safe_z + cam.cx)
+    y4 = F * (cam.fy * self_y / safe_z + cam.cy)
+    fx_ = x4 - jnp.floor(x4)
+    fy_ = y4 - jnp.floor(y4)
+
+    # Pre-pad candidate images once.
+    pads = {k: jnp.pad(getattr(tex, k), R) for k in
+            ("z", "conf", "init_time", "last_time", "x", "y")}
+    p_has = jnp.pad(tex.has, R)
+    rows4, cols4 = tex.z.shape
+
+    def sl(img, dy, dx):
+        return img[R + dy:R + dy + rows4, R + dx:R + dx + cols4]
+
+    count = jnp.zeros_like(self_z)
+    zcount = jnp.zeros_like(self_z)
+    for dy in range(-4, 5):
+        wy = _axis_weight(dy, fy_)
+        for dx in range(-4, 5):
+            w = _axis_weight(dx, fx_) * wy
+            c_has = sl(p_has, dy, dx)
+            cz = sl(pads["z"], dy, dx)
+            c_conf = sl(pads["conf"], dy, dx)
+            c_init = sl(pads["init_time"], dy, dx)
+            c_last = sl(pads["last_time"], dy, dx)
+            d2 = ((sl(pads["x"], dy, dx) - self_x) ** 2
+                  + (sl(pads["y"], dy, dx) - self_y) ** 2)
+            behind = cz > self_z
+            red = (c_has & (c_init < self_init)
+                   & (c_conf > fus.confidence_threshold)
+                   & behind & (cz - self_z < 0.01) & (d2 < rad2))
+            fsv = (c_has & (c_last == tickf)
+                   & (c_conf > 0.4 * fus.confidence_threshold)
+                   & behind & (cz - self_z > 0.01))
+            count = count + jnp.where(red, w, 0.0)
+            zcount = zcount + jnp.where(fsv, w, 0.0)
+
+    kill_tex = self_has & ((count > fus.clean_redundant_count)
+                           | (zcount > fus.clean_free_space_count))
+    # Scatter the per-texel verdict back to surfel slots.
+    capacity = local.pos.shape[0]
+    tgt = jnp.where(kill_tex.ravel(), tex.idx.ravel(), capacity)
+    killed = jnp.zeros((capacity + 1,), jnp.int32).at[tgt].max(
+        kill_tex.ravel().astype(jnp.int32), mode="drop")
+    return killed[:capacity] > 0
 
 
 def clean_and_insert(smap: SurfelMap,
-                     index_render: IndexMapRender,
+                     tex: TexelImages,
+                     local: SurfelsLocal,
                      new: NewSurfels,
-                     pose: jnp.ndarray,
                      tick: jnp.ndarray,
                      config: SFConfig) -> SurfelMap:
-    cam = config.camera
     fus = config.fusion
-    F = fus.index_factor
-    rows, cols = cam.height, cam.width
-    rows4, cols4 = rows * F, cols * F
     tickf = jnp.asarray(tick, jnp.float32)
 
-    # ---- survivor test (copy_unstable.vert) ----
-    local = index_render.local_pos            # (N, 3) — same pose as render
-    z = local[:, 2]
-    safe_z = jnp.where(z == 0.0, 1.0, z)
-    x = cam.fx * local[:, 0] / safe_z + cam.cx   # GL continuous coords
-    y = cam.fy * local[:, 1] / safe_z + cam.cy
-
-    recent = (tickf - smap.last_time) < fus.time_delta
-    in_img = (z > 0) & (x > 0) & (y > 0) & (x < cols) & (y < rows)
-    do_window = smap.valid & recent & in_img
-
-    winner = index_render.winner.ravel()
-    mx, wx = _axis_weights(jnp.where(do_window, 4.0 * x - 4.0, 0.0))
-    my, wy = _axis_weights(jnp.where(do_window, 4.0 * y - 4.0, 0.0))
-
-    count = jnp.zeros_like(z)
-    zcount = jnp.zeros_like(z)
-    mx_all = jnp.stack(mx, axis=-1)          # (N, 9)
-    wx_all = jnp.stack(wx, axis=-1)
-    x_ok = (mx_all >= 0) & (mx_all < cols4)
-    tx_all = jnp.clip(mx_all, 0, cols4 - 1)
-    # One window row per step: (N, 9) vectorized, 9 steps — bounds the
-    # gather temporaries to N*9 instead of N*81.
-    for iy in range(9):
-        ty = jnp.clip(my[iy], 0, rows4 - 1)
-        ok = (do_window & (my[iy] >= 0) & (my[iy] < rows4))[:, None] & x_ok
-        w = wx_all * wy[iy][:, None]                       # (N, 9)
-        cand = winner[ty[:, None] * cols4 + tx_all]
-        has = ok & (cand != INVALID) & (w > 0)
-        safe = jnp.where(has, cand, 0)
-        cz = local[safe, 2]
-        c_conf = smap.conf[safe]
-        c_init = smap.init_time[safe]
-        c_last = smap.last_time[safe]
-        dxy = local[safe, :2] - local[:, None, :2]
-        d2 = jnp.sum(dxy * dxy, axis=-1)
-        red = (has & (c_init < smap.init_time[:, None])
-               & (c_conf > fus.confidence_threshold)
-               & (cz > z[:, None]) & (cz - z[:, None] < 0.01)
-               & (d2 < (smap.radius[:, None] * 1.4) ** 2))
-        fsv = (has & (c_last == tickf)
-               & (c_conf > 0.4 * fus.confidence_threshold)
-               & (cz > z[:, None]) & (cz - z[:, None] > 0.01))
-        count = count + jnp.sum(jnp.where(red, w, 0.0), axis=-1)
-        zcount = zcount + jnp.sum(jnp.where(fsv, w, 0.0), axis=-1)
-
-    keep = smap.valid
-    keep = keep & ~((count > fus.clean_redundant_count)
-                    | (zcount > fus.clean_free_space_count))
+    keep = smap.valid & ~window_kill_mask(tex, local, tick, config)
     # Unstable too long with low confidence, or zero-confidence
     # (copy_unstable.vert:118-122).
     too_old_unstable = ((tickf - smap.last_time) > fus.clean_unstable_age) & \
@@ -123,19 +137,14 @@ def clean_and_insert(smap: SurfelMap,
     free = ~keep
     free_slots = jnp.nonzero(free, size=max_new,
                              fill_value=smap.capacity)[0]
-    # Rank each new surfel among the new ones; slot = free_slots[rank].
     rank = jnp.cumsum(new.is_new.astype(jnp.int32)) - 1
     slot = jnp.where(new.is_new, free_slots[jnp.clip(rank, 0, max_new - 1)],
                      smap.capacity)
-    fits = slot < smap.capacity
-    slot_c = jnp.where(fits, slot, smap.capacity - 1)
-    ins = new.is_new & fits
+    ins = new.is_new & (slot < smap.capacity)
+    tgt = jnp.where(ins, slot, smap.capacity)  # out of range -> dropped
 
     def put(arr, val):
-        if arr.ndim == 2:
-            return arr.at[slot_c].set(
-                jnp.where(ins[:, None], val, arr[slot_c]))
-        return arr.at[slot_c].set(jnp.where(ins, val, arr[slot_c]))
+        return arr.at[tgt].set(val, mode="drop")
 
     tick_col = jnp.full((max_new,), tickf)
     return SurfelMap(

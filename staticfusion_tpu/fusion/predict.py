@@ -5,15 +5,13 @@ Reference: `IndexMap::combinedPredict` (IndexMap.cpp:221-303) with
 `FillIn` passes (fill_rgb/fill_vertex fragments); `denseEnough`
 (Reconstruction.cpp:218-233, 1/40-scale sample grid).
 
-TPU design — gather-based splatting: GL scatters each surfel over a
-variable-size point sprite, which is shape-dynamic.  We instead rasterize
-surfel *centers* into the 4x index map (one deterministic z-buffer scatter)
-and have every camera pixel gather the 8x8 super-resolution texels around it
-(+-1 pixel), intersecting its view ray with each candidate disk and keeping
-the nearest hit — fixed shapes, pure VPU work, and the index map is shared
-with association/cleaning.  Surfels can therefore only paint pixels within
-~1 px of their center; in practice (radius ~ z*sqrt2/f) this covers the
-reference's splat extent except for extreme grazing disks.
+TPU design — gather-free splatting: surfel centers rasterize once into the
+4x texel images (texelmap.py); every camera pixel then scans its 8x8
+super-resolution window via *strided slices* of those images, intersecting
+its view ray with each candidate disk and keeping the nearest hit.  Fixed
+shapes, pure VPU stencil work.  Surfels paint pixels within ~1 px of their
+center — covering the reference's splat extent except extreme grazing disks
+(those mostly fail the GL radius test too).
 """
 
 from __future__ import annotations
@@ -24,8 +22,9 @@ import jax.numpy as jnp
 
 from staticfusion_tpu.config import SFConfig
 from staticfusion_tpu.fusion.surfels import SurfelMap, backproject_fusion
-from staticfusion_tpu.geometry.se3 import se3_inverse
-from staticfusion_tpu.ops.zbuffer import INVALID, zbuffer_scatter
+from staticfusion_tpu.fusion.texelmap import (TexelImages, phase_decompose,
+                                              phase_window, project_surfels,
+                                              render_texel_images)
 
 
 class PredictedView(NamedTuple):
@@ -38,90 +37,74 @@ class PredictedView(NamedTuple):
     depth: jnp.ndarray    # (H, W) corrected z, 0 where empty
 
 
-def combined_predict(smap: SurfelMap, pose: jnp.ndarray, tick: jnp.ndarray,
-                     conf_threshold, config: SFConfig) -> PredictedView:
-    """Predict the view from the map at `pose` for surfels with
-    conf >= conf_threshold (splat.vert culls, combo_splat.frag math)."""
+def splat_from_texels(tex: TexelImages, config: SFConfig) -> PredictedView:
+    """Ray-disk intersection against the 8x8 window of texel candidates
+    (combo_splat.frag math), nearest hit wins."""
     cam = config.camera
-    fus = config.fusion
-    F = fus.index_factor
+    F = config.fusion.index_factor
     rows, cols = cam.height, cam.width
-    rows4, cols4 = rows * F, cols * F
 
-    T_inv = se3_inverse(pose)
-    R, t = T_inv[:3, :3], T_inv[:3, 3]
-    local = smap.pos @ R.T + t
-    local_nrm = smap.normal @ R.T
-    z = local[:, 2]
-
-    fresh = (jnp.asarray(tick, jnp.float32) - smap.last_time) <= fus.time_delta
-    ok = (smap.valid & fresh & (smap.conf >= conf_threshold)
-          & (z >= fus.predict_z_min) & (z <= fus.depth_max))
-
-    safe_z = jnp.where(z == 0.0, 1.0, z)
-    u4 = jnp.floor(F * (cam.fx * local[:, 0] / safe_z + cam.cx)).astype(jnp.int32)
-    v4 = jnp.floor(F * (cam.fy * local[:, 1] / safe_z + cam.cy)).astype(jnp.int32)
-    ok = ok & (u4 >= 0) & (u4 < cols4) & (v4 >= 0) & (v4 < rows4)
-    winner, _ = zbuffer_scatter(v4 * cols4 + u4, z, ok, rows4 * cols4)
-
-    # Per-pixel rays at pixel centers (combo_splat.frag:35).
     uu = jnp.arange(cols, dtype=jnp.float32)[None, :] + 0.5
     vv = jnp.arange(rows, dtype=jnp.float32)[:, None] + 0.5
     lx = jnp.broadcast_to((uu - cam.cx) / cam.fx, (rows, cols))
     ly = jnp.broadcast_to((vv - cam.cy) / cam.fy, (rows, cols))
 
-    # All (2F)^2 window texels as one batched gather: (rows, cols, W).
-    W = (2 * F) ** 2
-    offs = jnp.arange(2 * F, dtype=jnp.int32)
-    bu = F * jnp.arange(cols, dtype=jnp.int32)[None, :] - 2
-    bv = F * jnp.arange(rows, dtype=jnp.int32)[:, None] - 2
-    win_u = bu[..., None, None] + offs[None, None, None, :]
-    win_v = bv[..., None, None] + offs[None, None, :, None]
-    win_u = jnp.broadcast_to(win_u, (rows, cols, 2 * F, 2 * F)).reshape(
-        rows, cols, W)
-    win_v = jnp.broadcast_to(win_v, (rows, cols, 2 * F, 2 * F)).reshape(
-        rows, cols, W)
-    in_win = ((win_u >= 0) & (win_u < cols4) & (win_v >= 0) & (win_v < rows4))
-    cand = winner.reshape(rows4, cols4)[jnp.clip(win_v, 0, rows4 - 1),
-                                        jnp.clip(win_u, 0, cols4 - 1)]
-    has = in_win & (cand != INVALID)
-    safe = jnp.where(has, cand, 0)
-    cpos = local[safe]                                # (rows, cols, W, 3)
-    cnrm = local_nrm[safe]
-    crad = smap.radius[safe]
-    # Ray-plane: t = dot(p, n)/dot(l, n); hit = t*l (combo_splat.frag:37).
-    lxe, lye = lx[..., None], ly[..., None]
-    denom = lxe * cnrm[..., 0] + lye * cnrm[..., 1] + cnrm[..., 2]
-    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-    tproj = (cpos[..., 0] * cnrm[..., 0] + cpos[..., 1] * cnrm[..., 1]
-             + cpos[..., 2] * cnrm[..., 2]) / denom
-    hx = tproj * lxe - cpos[..., 0]
-    hy = tproj * lye - cpos[..., 1]
-    hz = tproj - cpos[..., 2]
-    inside = (hx * hx + hy * hy + hz * hz) <= crad * crad
-    ok_cand = has & inside & (tproj > 0)
-    tkey = jnp.where(ok_cand, tproj, jnp.inf)
-    best_k = jnp.argmin(tkey, axis=-1)
-    best_z = jnp.take_along_axis(tkey, best_k[..., None], axis=-1)[..., 0]
-    best_id = jnp.where(
-        jnp.isfinite(best_z),
-        jnp.take_along_axis(cand, best_k[..., None], axis=-1)[..., 0],
-        INVALID)
+    ph = {name: phase_decompose(
+        getattr(tex, name).astype(jnp.float32) if name == "has"
+        else getattr(tex, name), F)
+        for name in ("has", "x", "y", "z", "nx", "ny", "nz", "radius",
+                     "conf", "init_time", "r", "g", "b")}
 
-    hit = best_id != INVALID
-    safe = jnp.where(hit, best_id, 0)
+    best_z = jnp.full((rows, cols), jnp.inf)
+    sel = {k: jnp.zeros((rows, cols)) for k in
+           ("conf", "radius", "time", "r", "g", "b", "nx", "ny", "nz")}
+    sel_src = dict(conf="conf", radius="radius", time="init_time", r="r",
+                   g="g", b="b", nx="nx", ny="ny", nz="nz")
+
+    for dv in range(-2, 2 * F - 2):
+        for du in range(-2, 2 * F - 2):
+            S = lambda name: phase_window(ph[name], dv, du, F)
+            has = S("has") > 0
+            cx_, cy_, cz = S("x"), S("y"), S("z")
+            cnx, cny, cnz = S("nx"), S("ny"), S("nz")
+            crad = S("radius")
+            denom = lx * cnx + ly * cny + cnz
+            denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+            tproj = (cx_ * cnx + cy_ * cny + cz * cnz) / denom
+            hx = tproj * lx - cx_
+            hy = tproj * ly - cy_
+            hz = tproj - cz
+            inside = (hx * hx + hy * hy + hz * hz) <= crad * crad
+            better = has & inside & (tproj > 0) & (tproj < best_z)
+            best_z = jnp.where(better, tproj, best_z)
+            for k, src in sel_src.items():
+                sel[k] = jnp.where(better, S(src), sel[k])
+
+    hit = jnp.isfinite(best_z)
     zc = jnp.where(hit, best_z, 0.0)
     vertex = jnp.stack([lx * zc, ly * zc, zc], axis=-1)
-    sel3 = lambda a: jnp.where(hit[..., None], a[safe], 0.0)
+    h3 = hit[..., None]
     return PredictedView(
-        image=sel3(smap.color),
-        vertex=jnp.where(hit[..., None], vertex, 0.0),
-        conf=jnp.where(hit, smap.conf[safe], 0.0),
-        normal=sel3(local_nrm),
-        radius=jnp.where(hit, smap.radius[safe], 0.0),
-        time=jnp.where(hit, smap.init_time[safe], 0.0),
+        image=jnp.where(h3, jnp.stack([sel["r"], sel["g"], sel["b"]], -1), 0.0),
+        vertex=jnp.where(h3, vertex, 0.0),
+        conf=jnp.where(hit, sel["conf"], 0.0),
+        normal=jnp.where(h3, jnp.stack([sel["nx"], sel["ny"], sel["nz"]], -1),
+                         0.0),
+        radius=jnp.where(hit, sel["radius"], 0.0),
+        time=jnp.where(hit, sel["time"], 0.0),
         depth=zc,
     )
+
+
+def combined_predict(smap: SurfelMap, pose: jnp.ndarray, tick: jnp.ndarray,
+                     conf_threshold, config: SFConfig) -> PredictedView:
+    """Predict the view from the map at `pose` for surfels with
+    conf >= conf_threshold (splat.vert culls, combo_splat.frag math)."""
+    local = project_surfels(smap, pose, config)
+    tex = render_texel_images(smap, local, tick, config,
+                              conf_threshold=conf_threshold,
+                              z_min=config.fusion.predict_z_min)
+    return splat_from_texels(tex, config)
 
 
 def dense_enough(image: jnp.ndarray, config: SFConfig) -> jnp.ndarray:
@@ -154,10 +137,20 @@ def get_predicted_images(smap: SurfelMap, pose: jnp.ndarray, tick: jnp.ndarray,
     """Reconstruction::getPredictedImages (Reconstruction.cpp:628-720):
     LOW/HIGH predictions, density check, FillIn compositing, depth
     extraction.  RGB is quantized through the u8 texture download before the
-    luma, replicating the reference's CPU handoff."""
+    luma, replicating the reference's CPU handoff.
+
+    Both confidence classes share one projection; only the render cull
+    differs."""
     fus = config.fusion
-    low = combined_predict(smap, pose, tick, fus.low_conf, config)
-    high = combined_predict(smap, pose, tick, fus.confidence_threshold, config)
+    local = project_surfels(smap, pose, config)
+    tex_low = render_texel_images(smap, local, tick, config,
+                                  conf_threshold=fus.low_conf,
+                                  z_min=fus.predict_z_min)
+    tex_high = render_texel_images(smap, local, tick, config,
+                                   conf_threshold=fus.confidence_threshold,
+                                   z_min=fus.predict_z_min)
+    low = splat_from_texels(tex_low, config)
+    high = splat_from_texels(tex_high, config)
 
     dense = dense_enough(low.image, config)
 

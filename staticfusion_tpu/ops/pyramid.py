@@ -41,13 +41,28 @@ def _conv_mask(dtype=jnp.float32) -> jnp.ndarray:
 
 
 def _blocks_4x4(img: jnp.ndarray, rows_o: int, cols_o: int) -> jnp.ndarray:
-    """(rows_o, cols_o, 4, 4) neighborhoods img[2v-1+a, 2u-1+b], zero-padded."""
-    padded = jnp.pad(img, ((1, 2), (1, 2)))
+    """(rows_o, cols_o, 4, 4) neighborhoods img[2v-1+a, 2u-1+b], zero-padded.
+
+    Phase-decomposed: one reshape/transpose splits the parent into its four
+    2x2 phases; the 4x4 window offsets then become +-1 shifts of phase
+    images — avoiding 16 stride-2 lane-relayout slices on TPU."""
+    # phases[p, q][v, u] = img[2v + p, 2u + q]
+    phases = img.reshape(rows_o, 2, cols_o, 2).transpose(1, 3, 0, 2)
+
+    def shifted(a, b):
+        # img[2v - 1 + a, 2u - 1 + b] = phases[(a-1)%2, (b-1)%2] shifted by
+        # ((a-1)//2, (b-1)//2) pixels.
+        p, dv = (a - 1) % 2, (a - 1) // 2
+        q, du = (b - 1) % 2, (b - 1) // 2
+        ph = phases[p, q]
+        if dv == 0 and du == 0:
+            return ph
+        pad = jnp.pad(ph, 1)
+        return pad[1 + dv:1 + dv + rows_o, 1 + du:1 + du + cols_o]
+
     rows = []
     for a in range(4):
-        cols = []
-        for b in range(4):
-            cols.append(padded[a:a + 2 * rows_o:2, b:b + 2 * cols_o:2])
+        cols = [shifted(a, b) for b in range(4)]
         rows.append(jnp.stack(cols, axis=-1))
     return jnp.stack(rows, axis=-2)
 

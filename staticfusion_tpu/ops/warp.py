@@ -94,25 +94,28 @@ def warp_forward_splat(src_depth: jnp.ndarray,
     w_dl = jnp.where(near, 0, delta_r + delta_u)
     w_near = jnp.where(near, 200, 0)
 
+    # One batched scatter per accumulated field: the five candidate targets
+    # (4 bilinear corners + the near-integer snap) are stacked into a single
+    # (5N,) update — TPU scatters have per-op setup cost, so fewer, larger
+    # scatters win.
     n = rows_i * cols_i
-    acc_d = jnp.zeros((n,), dtype)
-    acc_i = jnp.zeros((n,), dtype)
-    acc_w = jnp.zeros((n,), dtype)
 
-    def scatter(acc_d, acc_i, acc_w, tv, tu, w):
-        w = jnp.where(valid, w, 0).astype(dtype).ravel()
-        idx = (tv * cols_i + tu).ravel()
-        idx = jnp.where(w.reshape(-1) > 0, idx, 0)
-        acc_d = acc_d.at[idx].add(w * z_w.ravel())
-        acc_i = acc_i.at[idx].add(w * src_intensity.ravel())
-        acc_w = acc_w.at[idx].add(w)
-        return acc_d, acc_i, acc_w
+    def flat(tv, tu):
+        return (tv * cols_i + tu).ravel()
 
-    acc_d, acc_i, acc_w = scatter(acc_d, acc_i, acc_w, v_d + 1, u_l + 1, w_ur)
-    acc_d, acc_i, acc_w = scatter(acc_d, acc_i, acc_w, v_d + 1, u_l, w_ul)
-    acc_d, acc_i, acc_w = scatter(acc_d, acc_i, acc_w, v_d, u_l + 1, w_dr)
-    acc_d, acc_i, acc_w = scatter(acc_d, acc_i, acc_w, v_d, u_l, w_dl)
-    acc_d, acc_i, acc_w = scatter(acc_d, acc_i, acc_w, ind_v, ind_u, w_near)
+    idx5 = jnp.concatenate([
+        flat(v_d + 1, u_l + 1), flat(v_d + 1, u_l),
+        flat(v_d, u_l + 1), flat(v_d, u_l), flat(ind_v, ind_u)])
+    w5 = jnp.concatenate([
+        w.ravel() for w in (w_ur, w_ul, w_dr, w_dl, w_near)]).astype(dtype)
+    w5 = w5 * jnp.tile(valid.ravel().astype(dtype), 5)
+    idx5 = jnp.where(w5 > 0, idx5, 0)
+
+    z5 = jnp.tile(z_w.ravel(), 5)
+    i5 = jnp.tile(src_intensity.ravel(), 5)
+    acc_d = jnp.zeros((n,), dtype).at[idx5].add(w5 * z5)
+    acc_i = jnp.zeros((n,), dtype).at[idx5].add(w5 * i5)
+    acc_w = jnp.zeros((n,), dtype).at[idx5].add(w5)
 
     wacu = acc_w.reshape(rows_i, cols_i)
     nonzero = wacu != 0.0

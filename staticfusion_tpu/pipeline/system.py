@@ -35,8 +35,8 @@ class SlamSystem:
         self.initial_pose = (np.eye(4, dtype=np.float32)
                              if initial_pose is None else initial_pose)
         self.times: List[float] = []
-        self.poses: List[np.ndarray] = []
-        self.metrics: List[dict] = []
+        self.poses: List[np.ndarray] = []  # device arrays until materialized
+        self._pending_metrics: List = []
         self.frame_seconds: List[float] = []
 
     def _to_frame(self, rgb: np.ndarray, depth_mm: np.ndarray) -> Frame:
@@ -57,27 +57,42 @@ class SlamSystem:
                 frame0, frame, jnp.asarray(self.initial_pose), self.config)
         else:
             self.state, out = slam_step(self.state, frame, self.config)
-        pose = np.asarray(out.curr_pose)
+        # Keep outputs on device: host round-trips are expensive (and on the
+        # axon tunnel, catastrophic); everything is fetched lazily.
         self.times.append(timestamp)
-        self.poses.append(pose)
+        self.poses.append(out.curr_pose)
         self.frame_seconds.append(time.perf_counter() - t0)
-        self.metrics.append({
-            "timestamp": timestamp,
-            "surfels": int(out.surfel_count),
-            "dense": bool(out.dense),
-            "ddt_sum": float(out.ddt_sum),
-        })
+        self._pending_metrics.append((timestamp, out))
         return out
+
+    @property
+    def metrics(self):
+        out = []
+        for timestamp, o in self._pending_metrics:
+            out.append({
+                "timestamp": timestamp,
+                "surfels": int(o.surfel_count),
+                "dense": bool(o.dense),
+                "ddt_sum": float(o.ddt_sum),
+            })
+        return out
+
+    def _materialize_poses(self):
+        import jax
+
+        self.poses = [np.asarray(p) for p in jax.device_get(self.poses)]
 
     def block(self):
         if self.state is not None:
             jax.block_until_ready(self.state)
 
     def write_trajectory(self, path: str) -> None:
+        self._materialize_poses()
         traj_io.write_tum_trajectory(path, self.times, self.poses)
 
     def ate(self, gt_times: np.ndarray, gt_poses: np.ndarray,
             max_dt: float = 0.05) -> float:
+        self._materialize_poses()
         return traj_io.ate_rmse(np.asarray(self.times),
                                 np.stack(self.poses), gt_times, gt_poses,
                                 max_dt=max_dt)

@@ -19,6 +19,13 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The sandbox's sitecustomize registers the axon TPU backend at interpreter
+# startup, which wins over the env var. Force the platform through the config
+# API (effective as long as no backend has been initialized yet).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 @pytest.fixture
 def rng():

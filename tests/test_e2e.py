@@ -1,0 +1,71 @@
+"""Integration tests: full pipeline on synthetic sequences.
+
+Shapes match scripts/smoke_e2e.py so the persistent compile cache is shared.
+"""
+
+import numpy as np
+import pytest
+
+from staticfusion_tpu.config import SFConfig, CameraConfig, FusionConfig
+from staticfusion_tpu.io import synthetic
+from staticfusion_tpu.pipeline.system import SlamSystem
+
+CONFIG = SFConfig(camera=CameraConfig(width=160, height=120),
+                  fusion=FusionConfig(capacity=1 << 16))
+TWIST = np.array([0.004, -0.002, 0.006, 0.0015, -0.001, 0.002], np.float32)
+
+
+@pytest.fixture(scope="module")
+def static_run():
+    frames, gt = synthetic.make_sequence(CONFIG, 8, TWIST)
+    slam = SlamSystem(CONFIG)
+    outs = [slam.process(r, d, i / 30.0) for i, (r, d, _) in enumerate(frames)]
+    return slam, gt, outs
+
+
+def test_static_scene_ate(static_run):
+    slam, gt, _ = static_run
+    ate = slam.ate(np.arange(8) / 30.0, gt)
+    assert ate < 0.02, f"ATE {ate} too high on noise-free static scene"
+
+
+def test_static_scene_all_static(static_run):
+    _, _, outs = static_run
+    sp = np.asarray(outs[-1].static_prob)
+    assert sp.mean() > 0.9
+
+
+def test_surfel_count_stable(static_run):
+    _, _, outs = static_run
+    counts = [int(o.surfel_count) for o in outs if o is not None]
+    n_pix = CONFIG.rows * CONFIG.cols
+    assert all(0.9 * n_pix < c < 1.5 * n_pix for c in counts), counts
+
+
+def test_dynamic_object_segmented():
+    sphere = synthetic.Sphere(center=np.array([0.3, 0.0, 1.8]), radius=0.35,
+                              velocity=np.array([-0.04, 0.0, 0.0]))
+    frames, gt = synthetic.make_sequence(CONFIG, 6, TWIST, sphere=sphere)
+    slam = SlamSystem(CONFIG)
+    gaps = []
+    for i, (rgb, depth_mm, dyn) in enumerate(frames):
+        out = slam.process(rgb, depth_mm, i / 30.0)
+        if out is not None and dyn.sum() > 100:
+            sp = np.asarray(out.static_prob)
+            gaps.append(sp[~dyn].mean() - sp[dyn].mean())
+    assert len(gaps) >= 3
+    # The moving object must score clearly more dynamic than the background.
+    assert np.mean(gaps[1:]) > 0.5, gaps
+    # And tracking must survive the dynamic object.
+    ate = slam.ate(np.arange(6) / 30.0, gt)
+    assert ate < 0.03, f"ATE {ate} with dynamic object"
+
+
+def test_trajectory_written(tmp_path, static_run):
+    slam, _, _ = static_run
+    path = str(tmp_path / "traj.txt")
+    slam.write_trajectory(path)
+    from staticfusion_tpu.io.trajectory import read_tum_trajectory
+
+    t, p = read_tum_trajectory(path)
+    assert len(t) == len(slam.poses)

@@ -1,0 +1,213 @@
+import jax.numpy as jnp
+import numpy as np
+
+from staticfusion_tpu.config import SFConfig, CameraConfig, FusionConfig
+from staticfusion_tpu.fusion import (association, backend, clean, indexmap,
+                                     predict, surfels, update)
+from staticfusion_tpu.ops.zbuffer import INVALID
+
+CONFIG = SFConfig(camera=CameraConfig(width=80, height=60),
+                  fusion=FusionConfig(capacity=1 << 13))
+
+
+def _flat_scene(depth=2.0):
+    rows, cols = CONFIG.rows, CONFIG.cols
+    d = np.full((rows, cols), depth, np.float32)
+    # Smooth texture: same-depth surfel disks overlap, so a pixel may be
+    # painted by a neighboring surfel (GL z-fighting does the same) — colors
+    # must vary smoothly for color checks to be meaningful.
+    yy, xx = np.mgrid[0:rows, 0:cols].astype(np.float32)
+    rgb = np.stack([0.5 + 0.4 * np.sin(xx / 17.0),
+                    0.5 + 0.4 * np.cos(yy / 13.0),
+                    0.5 + 0.4 * np.sin((xx + yy) / 23.0)], axis=-1)
+    return d, rgb.astype(np.float32)
+
+
+def _init_map(depth=2.0, prob=1.0):
+    d, rgb = _flat_scene(depth)
+    sp = np.full(d.shape, prob, np.float32)
+    return surfels.initialise_map(CONFIG.fusion.capacity, jnp.asarray(d),
+                                  jnp.asarray(d), jnp.asarray(rgb),
+                                  jnp.asarray(sp), jnp.eye(4), CONFIG), d, rgb
+
+
+def test_initialise_map_counts_and_positions():
+    smap, d, rgb = _init_map()
+    assert int(smap.count()) == d.size
+    pos = np.asarray(smap.pos[:d.size]).reshape(CONFIG.rows, CONFIG.cols, 3)
+    np.testing.assert_allclose(pos[..., 2], d, atol=1e-6)
+    # Center pixel is near the optical axis.
+    cy, cx = CONFIG.rows // 2, CONFIG.cols // 2
+    assert abs(pos[cy, cx, 0]) < 0.05 and abs(pos[cy, cx, 1]) < 0.05
+    # Confidence is the (8-bit quantized) static probability.
+    np.testing.assert_allclose(np.asarray(smap.conf[:d.size]), 1.0, atol=1e-6)
+
+
+def test_initialise_map_low_prob_gives_low_conf():
+    smap, d, _ = _init_map(prob=0.25)
+    conf = np.asarray(smap.conf[:d.size])
+    np.testing.assert_allclose(conf, np.round(0.25 * 255) / 255, atol=1e-6)
+
+
+def test_predict_indices_hits_projected_texels():
+    smap, d, _ = _init_map()
+    tex, local = indexmap.predict_indices(smap, jnp.eye(4),
+                                          jnp.asarray(2, jnp.int32), CONFIG)
+    winner = np.asarray(tex.idx)
+    # Most of the 4x map interior should be covered within +-2 texels of each
+    # surfel's projection (every camera pixel produced a surfel).
+    hit_frac = (winner != INVALID).mean()
+    assert hit_frac > 0.05  # surfel centers cover 1/16 of the 4x grid
+    # A known surfel: pixel (30, 40) -> index 30*80+40.
+    idx = 30 * CONFIG.cols + 40
+    lp = np.asarray(local.pos[idx])
+    cam = CONFIG.camera
+    u4 = int(np.floor(4 * (cam.fx * lp[0] / lp[2] + cam.cx)))
+    v4 = int(np.floor(4 * (cam.fy * lp[1] / lp[2] + cam.cy)))
+    assert winner[v4, u4] == idx
+    # Texel attribute images carry the winner's attributes.
+    np.testing.assert_allclose(np.asarray(tex.z)[v4, u4], lp[2], atol=1e-6)
+
+
+def test_combined_predict_reproduces_depth():
+    smap, d, rgb = _init_map()
+    view = predict.combined_predict(smap, jnp.eye(4), jnp.asarray(2, jnp.int32),
+                                    0.2, CONFIG)
+    depth = np.asarray(view.depth)
+    inner = np.s_[4:-4, 4:-4]
+    cover = (depth[inner] > 0).mean()
+    assert cover > 0.95
+    np.testing.assert_allclose(depth[inner][depth[inner] > 0], 2.0, atol=0.02)
+    # Colors come back from the right surfels.
+    img = np.asarray(view.image)
+    mask = depth > 0
+    err = np.abs(img[mask] - rgb[mask]).mean()
+    assert err < 0.05
+
+
+def test_combined_predict_confidence_cull():
+    smap, d, _ = _init_map(prob=0.25)  # conf ~0.25
+    view = predict.combined_predict(smap, jnp.eye(4), jnp.asarray(2, jnp.int32),
+                                    0.5, CONFIG)
+    assert float(jnp.sum(view.depth)) == 0.0
+
+
+def test_update_log_odds_scalar():
+    smap, d, _ = _init_map(prob=0.5)
+    n = d.size
+    upd = association.UpdateRecords(
+        has_update=jnp.zeros((CONFIG.fusion.capacity,), bool).at[0].set(True),
+        pos=jnp.asarray(smap.pos) + 0.1,
+        conf=jnp.full((CONFIG.fusion.capacity,), 0.9),
+        color=jnp.asarray(smap.color),
+        normal=jnp.asarray(smap.normal),
+        radius=jnp.asarray(smap.radius),
+    )
+    new = update.apply_updates(smap, upd, jnp.asarray(5, jnp.int32), CONFIG)
+    # NumPy oracle of update.vert math.
+    c_k = np.clip(np.round(0.5 * 255) / 255, 0.01, 0.99)
+    a = np.clip(2 * 0.9 * 0.9, 0.01, 0.53)
+    ltm = np.log(1 / (1 - c_k) - 1) + np.log(a / (1 - a))
+    c_k1 = 1 - 1 / (1 + np.exp(ltm))
+    np.testing.assert_allclose(float(new.conf[0]), c_k1, atol=1e-5)
+    assert float(new.hist[0]) == 2.0
+    assert float(new.last_time[0]) == 5.0
+    # Merge branch: radius equal -> merged position moved toward new.
+    w_old = 1.0 * c_k
+    expect_shift = a / (w_old + a) * 0.1
+    np.testing.assert_allclose(np.asarray(new.pos[0] - smap.pos[0]),
+                               expect_shift, atol=1e-5)
+    # Untouched surfel unchanged.
+    assert float(new.conf[1]) == float(smap.conf[1])
+
+
+def _empty_new():
+    n_pix = CONFIG.rows * CONFIG.cols
+    return association.NewSurfels(
+        is_new=jnp.zeros((n_pix,), bool),
+        pos=jnp.zeros((n_pix, 3)), conf=jnp.zeros((n_pix,)),
+        color=jnp.zeros((n_pix, 3)), normal=jnp.zeros((n_pix, 3)),
+        radius=jnp.zeros((n_pix,)))
+
+
+def test_clean_removes_zero_conf_within_window():
+    smap, d, _ = _init_map()
+    smap = smap._replace(conf=smap.conf.at[0].set(0.0))
+    tick = jnp.asarray(50, jnp.int32)  # within time_delta of last_time=1
+    tex, local = indexmap.predict_indices(smap, jnp.eye(4), tick, CONFIG)
+    new = clean.clean_and_insert(smap, tex, local, _empty_new(), tick, CONFIG)
+    assert not bool(new.valid[0])
+    assert bool(new.valid[1])  # confident neighbor survives
+
+
+def test_clean_keeps_stale_stable():
+    # Reference quirk (copy_unstable.vert:~124): any surfel whose last update
+    # is older than timeDelta is retained regardless — even zero-confidence.
+    smap, d, _ = _init_map()
+    smap = smap._replace(conf=smap.conf.at[0].set(0.0))
+    tick = jnp.asarray(300, jnp.int32)  # > time_delta after last_time=1
+    tex, local = indexmap.predict_indices(smap, jnp.eye(4), tick, CONFIG)
+    new = clean.clean_and_insert(smap, tex, local, _empty_new(), tick, CONFIG)
+    assert bool(new.valid[0])
+    assert bool(new.valid[1])
+
+
+def test_clean_inserts_new_surfels_into_free_slots():
+    smap, d, _ = _init_map()
+    n_pix = CONFIG.rows * CONFIG.cols
+    tick = jnp.asarray(3, jnp.int32)
+    tex, local = indexmap.predict_indices(smap, jnp.eye(4), tick, CONFIG)
+    is_new = jnp.zeros((n_pix,), bool).at[:5].set(True)
+    new_rec = association.NewSurfels(
+        is_new=is_new,
+        pos=jnp.ones((n_pix, 3)), conf=jnp.full((n_pix,), 0.08),
+        color=jnp.ones((n_pix, 3)) * 0.5, normal=jnp.ones((n_pix, 3)),
+        radius=jnp.full((n_pix,), 0.01))
+    before = int(smap.count())
+    out = clean.clean_and_insert(smap, tex, local, new_rec, tick, CONFIG)
+    assert int(out.count()) == before + 5
+    ins = np.flatnonzero(np.asarray(out.valid) & ~np.asarray(smap.valid))
+    assert len(ins) == 5
+    np.testing.assert_allclose(np.asarray(out.conf)[ins], 0.08)
+    np.testing.assert_allclose(np.asarray(out.last_time)[ins], 3.0)
+
+
+def test_association_matches_in_place():
+    smap, d, rgb = _init_map()
+    tick = jnp.asarray(2, jnp.int32)
+    tex, _ = indexmap.predict_indices(smap, jnp.eye(4), tick, CONFIG)
+    res = association.associate(
+        smap.capacity, tex, jnp.asarray(d), jnp.asarray(d),
+        jnp.asarray(rgb), jnp.ones(d.shape), jnp.eye(4), tick,
+        jnp.asarray(1.0), CONFIG)
+    n_updates = int(jnp.sum(res.updates.has_update))
+    n_new = int(jnp.sum(res.new.is_new))
+    # Checkerboard-in-time: about 1/4 of pixels are active; same-depth map
+    # means essentially all of them match (minus window edges).
+    n_active = d.size / 4
+    assert n_updates > 0.8 * n_active
+    assert n_new < 0.05 * n_active
+
+
+def test_fuse_frame_full_cycle_stable():
+    # prob 0.6: conf must be below the 0.99 log-odds clamp so it can rise.
+    smap, d, rgb = _init_map(prob=0.6)
+    res = backend.fuse_frame(
+        smap, jnp.eye(4), jnp.eye(4), jnp.asarray(d), jnp.asarray(d),
+        jnp.asarray(rgb), jnp.ones(d.shape), jnp.asarray(2, jnp.int32), CONFIG)
+    # Static identity refusion: map size roughly constant, confidences rise.
+    assert abs(int(res.smap.count()) - int(smap.count())) < 0.02 * d.size
+    matched = np.asarray(res.smap.last_time) == 2.0
+    assert matched.sum() > 0.15 * d.size
+    assert float(jnp.mean(res.smap.conf[matched])) > float(
+        jnp.mean(smap.conf[matched]))
+
+
+def test_velocity_weighting():
+    import jax
+
+    w = backend.velocity_weighting(jnp.eye(4), jnp.eye(4), 1.0, CONFIG)
+    assert abs(float(w) - 1.0) < 1e-6
+    T = jnp.eye(4).at[0, 3].set(0.5)  # big translation -> floor 0.5
+    w2 = backend.velocity_weighting(T, jnp.eye(4), 1.0, CONFIG)
+    assert abs(float(w2) - 0.5) < 1e-6
