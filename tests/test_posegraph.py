@@ -1,0 +1,83 @@
+"""Pose-graph Gauss-Newton refinement (parallel/posegraph.py).
+
+No reference counterpart — the reference only logs poses
+(Reconstruction.cpp:315); this layer is the net-new distributed
+refinement called for in SURVEY.md section 2.5."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from staticfusion_tpu.geometry import se3
+from staticfusion_tpu.parallel import posegraph as pg
+
+
+def _random_twists(rng, n, scale_t=0.05, scale_w=0.05):
+    x = rng.normal(size=(n, 6)).astype(np.float32)
+    x[:, :3] *= scale_t
+    x[:, 3:] *= scale_w
+    return x
+
+
+def _make_chain(rng, n):
+    """Ground-truth trajectory + exact odometry measurements."""
+    poses = [np.eye(4, dtype=np.float32)]
+    odom = []
+    for k in range(n - 1):
+        T = np.asarray(se3.se3_exp(jnp.asarray(_random_twists(rng, 1)[0])))
+        odom.append(T)
+        poses.append(poses[-1] @ T)
+    return np.stack(poses), odom
+
+
+def test_exact_graph_is_fixed_point(rng):
+    gt, odom = _make_chain(rng, 6)
+    g = pg.chain_odometry_graph(list(gt), odom)
+    g2 = pg.optimize(g, iters=3)
+    np.testing.assert_allclose(np.asarray(g2.poses[:6]), gt, atol=1e-5)
+
+
+def test_noisy_initialization_converges(rng):
+    gt, odom = _make_chain(rng, 8)
+    # Perturb every pose but the gauge-fixed first one.
+    noisy = [gt[0]]
+    for p in gt[1:]:
+        dx = jnp.asarray(0.03 * rng.normal(size=6).astype(np.float32))
+        noisy.append(np.asarray(jnp.asarray(p) @ se3.se3_exp(dx)))
+    g = pg.chain_odometry_graph(noisy, odom)
+    g2 = pg.optimize(g, iters=15)
+    np.testing.assert_allclose(np.asarray(g2.poses[:8]), gt, atol=1e-3)
+
+
+def test_loop_closure_distributes_drift(rng):
+    """A chain with drifted odometry plus an exact loop closure: the
+    endpoint error must shrink substantially after optimization."""
+    gt, odom = _make_chain(rng, 10)
+    drift = np.asarray(se3.se3_exp(jnp.asarray(
+        np.array([0.01, -0.008, 0.012, 0.004, -0.003, 0.005], np.float32))))
+    odom_bad = [T @ drift for T in odom]
+    # Integrate the bad odometry for the initial guess.
+    init = [gt[0]]
+    for T in odom_bad:
+        init.append(init[-1] @ T)
+    err_before = np.linalg.norm(init[-1][:3, 3] - gt[-1][:3, 3])
+
+    g = pg.chain_odometry_graph(init, odom_bad,
+                                max_constraints=2 * len(init))
+    # Loop closure: exact relative pose between first and last keyframe.
+    T_0n = np.linalg.inv(gt[0]) @ gt[-1]
+    g = pg.add_constraint(g, 0, len(init) - 1, jnp.asarray(T_0n), 10.0)
+    g2 = pg.optimize(g, iters=20)
+    err_after = np.linalg.norm(
+        np.asarray(g2.poses[len(init) - 1][:3, 3]) - gt[-1][:3, 3])
+    assert err_after < 0.35 * err_before
+
+
+def test_inactive_padding_untouched(rng):
+    gt, odom = _make_chain(rng, 4)
+    g = pg.chain_odometry_graph(list(gt), odom, max_poses=16,
+                                max_constraints=32)
+    g2 = pg.optimize(g, iters=5)
+    # Padding poses stay identity (pinned by damping, zero-weight rows).
+    np.testing.assert_allclose(np.asarray(g2.poses[8:]),
+                               np.broadcast_to(np.eye(4), (8, 4, 4)),
+                               atol=1e-5)
