@@ -25,7 +25,7 @@ def main():
 
     n_warmup = int(os.environ.get("SF_BENCH_WARMUP", "3"))
     n_iters = int(os.environ.get("SF_BENCH_ITERS", "20"))
-    capacity = int(os.environ.get("SF_BENCH_CAPACITY", str(1 << 20)))
+    capacity = int(os.environ.get("SF_BENCH_CAPACITY", str(1 << 18)))
 
     config = SFConfig(fusion=FusionConfig(capacity=capacity))
 

@@ -1,4 +1,7 @@
-"""Per-stage timing of the SLAM pipeline on the current JAX backend."""
+"""Per-stage timing of the SLAM pipeline on the current JAX backend.
+
+Each stage runs K times *inside one jit* chained through a token so the
+per-dispatch tunnel overhead (~5 ms on axon) cancels out."""
 
 import os
 import sys
@@ -20,32 +23,40 @@ from staticfusion_tpu.ops.warp import warp_images_inverse
 from staticfusion_tpu.solver.runsolver import run_solver
 from staticfusion_tpu.pipeline.step import Frame, bootstrap_step, slam_step
 
+K = int(os.environ.get("SF_PROF_K", "8"))
+
 
 def _sync(out):
-    """block_until_ready does not actually block on the axon tunnel; a
-    device->host transfer of any leaf does (in-order execution drains the
-    queue)."""
     leaf = jax.tree_util.tree_leaves(out)[0]
     np.asarray(leaf).ravel()[:1]
     return out
 
 
-def timeit(name, fn, *args, n=5):
-    out = fn(*args)
-    _sync(out)
+def timeit(name, fn, *args, n=3):
+    """In-graph: run fn K times inside one jit, salted to defeat CSE."""
+
+    @jax.jit
+    def loop(*a):
+        def body(i, tok):
+            out = fn(*a, tok)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return jnp.asarray(leaf).ravel()[0].astype(jnp.float32) * 1e-20
+
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+    _sync(loop(*args))
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fn(*args)
-    _sync(out)
-    dt = (time.perf_counter() - t0) / n
+        _sync(loop(*args))
+    dt = (time.perf_counter() - t0) / (n * K)
     print(f"{name:30s} {dt*1000:9.2f} ms", flush=True)
-    return out
 
 
 def main():
-    capacity = int(os.environ.get("SF_CAP", str(1 << 20)))
+    capacity = int(os.environ.get("SF_CAP", str(1 << 18)))
     config = SFConfig(fusion=FusionConfig(capacity=capacity))
-    print("backend:", jax.devices()[0].platform, "capacity:", capacity)
+    print("backend:", jax.devices()[0].platform, "capacity:", capacity,
+          "F:", config.fusion.index_factor, flush=True)
 
     twist = np.array([0.004, -0.002, 0.006, 0.0015, -0.001, 0.002], np.float32)
     frames, _ = synthetic.make_sequence(config, 3, twist)
@@ -61,58 +72,57 @@ def main():
     pose = state.curr_pose
     tick = state.tick
 
-    jf = lambda f, **kw: jax.jit(f, **kw)
-
-    filt_mm = timeit("bilateral", jf(
-        lambda d: bilateral.bilateral_filter_mm(d, 4.5)), depth_j)
+    timeit("bilateral", lambda d, s: bilateral.bilateral_filter_mm(
+        d + s, 4.5), depth_j)
     raw_m = bilateral.metricise_depth_mm(depth_j, 4.5)
-    filt_m = bilateral.metricise_depth_mm(filt_mm, 4.5)
-    intensity = 0.299 * rgb_j[..., 0] + 0.587 * rgb_j[..., 1] + 0.114 * rgb_j[..., 2]
+    filt_m = bilateral.metricise_depth_mm(
+        bilateral.bilateral_filter_mm(depth_j, 4.5), 4.5)
+    intensity = (0.299 * rgb_j[..., 0] + 0.587 * rgb_j[..., 1]
+                 + 0.114 * rgb_j[..., 2])
 
-    pyr = timeit("build_pyramid", jf(
-        lambda d, i: build_pyramid(d, i, config)), filt_m, intensity)
+    timeit("build_pyramid", lambda d, i, s: build_pyramid(
+        d + s, i, config), filt_m, intensity)
+    pyr = build_pyramid(filt_m, intensity, config)
 
-    timeit("warp_splat(level0)", jf(
-        lambda p, T: warp_images_inverse(p, T, config.camera.fovh)),
-        pyr[0], jnp.eye(4))
+    timeit("warp_splat(level0)", lambda p, s: warp_images_inverse(
+        p, jnp.eye(4) + s * jnp.zeros((4, 4)), config.camera.fovh), pyr[0])
 
-    timeit("run_solver", jf(
-        lambda c, p, t: run_solver(c, p, t, config)), pyr, pyr, state.twist_old)
+    timeit("run_solver", lambda c, p, t, s: run_solver(
+        c, p, t + s, config), pyr, pyr, state.twist_old)
 
-    tex, local = timeit("predict_indices", jf(
-        lambda m, po, t: indexmap.predict_indices(m, po, t, config)),
-        smap, pose, tick)
+    timeit("predict_indices", lambda m, po, t, s: indexmap.predict_indices(
+        m._replace(conf=m.conf + s * 0), po, t, config), smap, pose, tick)
+    tex, local = indexmap.predict_indices(smap, pose, tick, config)
 
     sp = jnp.ones(raw_m.shape)
-    assoc = timeit("associate", jf(
-        lambda r, d1, d2, c, s, po, t: association.associate(
-            capacity, r, d1, d2, c, s, po, t, jnp.asarray(1.0), config)),
-        tex, raw_m, filt_m, rgb_j, sp, pose, tick)
+    timeit("associate", lambda tx, s: association.associate(
+        capacity, tx._replace(z=tx.z + s * 0), raw_m, filt_m, rgb_j, sp,
+        pose, tick, jnp.asarray(1.0), config), tex)
+    assoc = association.associate(capacity, tex, raw_m, filt_m, rgb_j, sp,
+                                  pose, tick, jnp.asarray(1.0), config)
 
-    smap2 = timeit("apply_updates", jf(
-        lambda m, u, t: update.apply_updates(m, u, t, config)),
-        smap, assoc.updates, tick)
+    timeit("apply_updates", lambda m, u, s: update.apply_updates(
+        m._replace(conf=m.conf + s * 0), u, tick, config), smap, assoc.updates)
+    smap2 = update.apply_updates(smap, assoc.updates, tick, config)
 
-    timeit("clean_and_insert", jf(
-        lambda m, tx, lc, nw, t: clean.clean_and_insert(m, tx, lc, nw, t, config)),
-        smap2, tex, local, assoc.new, tick)
+    timeit("clean_and_insert", lambda m, tx, nw, s: clean.clean_and_insert(
+        m._replace(conf=m.conf + s * 0), tx, local, nw, tick, config),
+        smap2, tex, assoc.new)
 
-    timeit("combined_predict", jf(
-        lambda m, po, t: predict.combined_predict(m, po, t, 0.13, config)),
-        smap, pose, tick)
+    timeit("combined_predict", lambda m, s: predict.combined_predict(
+        m._replace(conf=m.conf + s * 0), pose, tick, 0.13, config), smap)
 
-    timeit("get_predicted_images", jf(
-        lambda m, po, t, d, c, s: predict.get_predicted_images(
-            m, po, t, d, c, s, config)),
-        smap, pose, tick, filt_m, rgb_j, sp)
+    timeit("get_predicted_images", lambda m, s: predict.get_predicted_images(
+        m._replace(conf=m.conf + s * 0), pose, tick, filt_m, rgb_j, sp,
+        config), smap)
 
-    timeit("fuse_frame", jf(
-        lambda m, po, T, d1, d2, c, s, t: backend.fuse_frame(
-            m, po, T, d1, d2, c, s, t, config)),
-        smap, pose, jnp.eye(4), raw_m, filt_m, rgb_j, sp, tick)
+    timeit("fuse_frame", lambda m, s: backend.fuse_frame(
+        m._replace(conf=m.conf + s * 0), pose, jnp.eye(4), raw_m, filt_m,
+        rgb_j, sp, tick, config), smap)
 
-    timeit("slam_step(full)", lambda s, f: slam_step(s, f, config),
-           state, Frame(rgb=rgb_j, depth_mm=depth_j), n=3)
+    timeit("slam_step(full)", lambda st, f, s: slam_step(
+        st._replace(tick=st.tick + jnp.int32(s * 0)), f, config),
+        state, Frame(rgb=rgb_j, depth_mm=depth_j))
 
 
 if __name__ == "__main__":

@@ -11,6 +11,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_pytest")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
+import jax
+
+# The env var alone cannot override the site-registered accelerator backend;
+# the config API can (before any backend initializes).
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from staticfusion_tpu.config import SFConfig, CameraConfig, FusionConfig

@@ -46,12 +46,12 @@ class SolverConfig:
 class FusionConfig:
     """Surfel-map backend parameters (reference: Reconstruction/GlobalModel/IndexMap)."""
 
-    capacity: int = 1 << 22              # max surfels; reference VBO holds 3072^2 ~ 9.4M (GlobalModel.cpp:21)
+    capacity: int = 1 << 20              # max surfels (reference VBO holds 3072^2 ~ 9.4M for VGA, GlobalModel.cpp:21; every per-surfel op scales with this, so size it to the scene)
     confidence_threshold: float = 0.25   # FrontEnd.cpp:167
     low_conf: float = 0.13               # Reconstruction.cpp:630
     depth_max: float = 4.5               # FrontEnd.cpp:168
     depth_min: float = 0.3               # depth_metric.frag:32 (300 mm gate)
-    index_factor: int = 4                # IndexMap.cpp:21 super-resolution factor
+    index_factor: int = 1                # index-map super-resolution factor (reference: 4, IndexMap.cpp:21; texel-grid op cost scales with F^2 — see texelmap.py for the trade)
     time_delta: int = 200                # Reconstruction.h (timeDelta window)
     velocity_weight_cap: float = 0.15    # Reconstruction.cpp:274
     velocity_weight_floor: float = 0.5   # Reconstruction.cpp:275

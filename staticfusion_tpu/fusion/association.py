@@ -8,11 +8,12 @@ an update record at the surfel's slot; unmatched become new unstable surfels
 (conf 0.08 iff probStatic > 0.5 else 0; data.vert:171-180).
 
 Window geometry: the GLSL samples 16x16 half-texel steps around the pixel
-center with nearest filtering, which touches exactly the 8x8 index texels
-[4u-2, 4u+5] x [4v-2, 4v+5] (each twice — harmless for a best-distance
-search).  Because camera pixels form a regular grid, each window offset is a
-*strided slice* of the texel images (texelmap.py) — no gathers at all in the
-search loop.
+center with nearest filtering, which at FACTOR=4 touches exactly the 8x8
+index texels [4u-2, 4u+5] x [4v-2, 4v+5] (each twice — harmless for a
+best-distance search).  `texelmap.window_offsets` generalizes that reach to
+any index factor (3x3 pixels at the default factor 1).  Because camera
+pixels form a regular grid, each window offset is a *shifted slice* of the
+texel images (texelmap.py) — no gathers at all in the search loop.
 
 Collision resolution: two active pixels can match the same surfel.  GL
 resolves by raster order; we dedupe deterministically — the pixel with the
@@ -28,8 +29,8 @@ import jax.numpy as jnp
 from staticfusion_tpu.config import SFConfig
 from staticfusion_tpu.fusion.surfels import (frame_cloud, radial_confidence)
 from staticfusion_tpu.fusion.texelmap import (TexelImages, phase_decompose,
-                                              phase_window)
-from staticfusion_tpu.ops.zbuffer import INVALID, zbuffer_scatter
+                                              phase_window, window_offsets)
+from staticfusion_tpu.ops.zbuffer import INVALID
 
 
 class UpdateRecords(NamedTuple):
@@ -108,8 +109,8 @@ def associate(smap_capacity: int,
     best_dist = jnp.full((rows, cols), 1000.0)
     best_id = jnp.full((rows, cols), INVALID, jnp.int32)
 
-    for du in range(-2, 2 * F - 2):      # the GLSL's x-major scan order
-        for dv in range(-2, 2 * F - 2):
+    for du in window_offsets(F):         # the GLSL's x-major scan order
+        for dv in window_offsets(F):
             S = lambda name: phase_window(ph[name], dv, du, F)
             has = S("has") > 0
             cx_, cy_, cz = S("x"), S("y"), S("z")
@@ -144,13 +145,14 @@ def associate(smap_capacity: int,
     meas_conf = jnp.minimum(static_prob,
                             jnp.minimum(weighting, radial)).ravel()
 
-    # Deduplicate surfel collisions: smallest pixel index wins.  Update
-    # records are *scattered* pixel->slot (fast on TPU) rather than gathered
-    # slot->pixel (capacity-sized gathers serialize).
+    # Deduplicate surfel collisions: smallest pixel index wins — one
+    # min-scatter of pixel ids into the slot grid.  Update records are then
+    # *scattered* pixel->slot (fast on TPU) rather than gathered slot->pixel
+    # (capacity-sized gathers serialize).
     pix_ids = jnp.arange(n_pix, dtype=jnp.int32)
-    slot = jnp.where(matched.ravel(), best_id.ravel(), 0)
-    win_pix, _ = zbuffer_scatter(slot, pix_ids.astype(jnp.float32),
-                                 matched.ravel(), smap_capacity)
+    slot = jnp.where(matched.ravel(), best_id.ravel(), smap_capacity)
+    win_pix = jnp.full((smap_capacity + 1,), INVALID, jnp.int32).at[slot].min(
+        jnp.where(matched.ravel(), pix_ids, INVALID))[:smap_capacity]
     has_update = win_pix != INVALID
     wp_at_pix = win_pix[slot]
     is_winner_pix = matched.ravel() & (wp_at_pix == pix_ids)

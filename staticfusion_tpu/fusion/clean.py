@@ -7,12 +7,12 @@ other half of a double-buffered VBO and appends the new-unstable transform
 feedback, with a primitive-count query maintaining `count`.
 
 TPU design:
-* The 16x16 half-texel window test becomes a 9x9 *stencil over the texel
-  attribute images*: a surfel projects to exactly one texel, and its sample
-  window is that texel +-4, so for every texel whose winner is the surfel
-  under test the whole check is shifted-image arithmetic — zero gathers.
-  The GLSL's duplicate-sample multiplicities are reproduced exactly from the
-  projection's fractional texel coordinate.
+* The 16x16 half-texel window test becomes a (2F+1)^2 *stencil over the
+  texel attribute images* (F = index_factor; the sample reach is ±1 px =
+  ±F texels): a surfel projects to exactly one texel, and for every texel
+  whose winner is the surfel under test the whole check is shifted-image
+  arithmetic — zero gathers.  The GLSL's duplicate-sample multiplicities
+  are reproduced from the projection's fractional texel coordinate.
 * Surfels that lost their texel's z-test (occluded this frame) skip the
   window check.  The reference checks them too, but its kill conditions
   (older confident surfel *behind*, free-space violator *behind*) target
@@ -32,15 +32,19 @@ from staticfusion_tpu.fusion.surfels import SurfelMap
 from staticfusion_tpu.fusion.texelmap import SurfelsLocal, TexelImages
 
 
-def _axis_weight(off: int, frac: jnp.ndarray) -> jnp.ndarray:
-    """How many of the 16 half-texel samples land on texel (own + off),
-    given the projection's fractional texel coordinate `frac` in [0,1).
+def _axis_weight(off: int, frac: jnp.ndarray, F: int) -> jnp.ndarray:
+    """How many of the 16 samples land on texel (own + off), given the
+    projection's fractional texel coordinate `frac` in [0,1).
 
-    Sample k (k=0..15) hits texel floor(a + k/2) with a = 4x - 4 and
-    4x = own + frac, so texel own+off collects k in
-    [2*(off+4-frac), 2*(off+5-frac)) ∩ [0,16)."""
-    lo = jnp.ceil(jnp.maximum(2.0 * (off + 4 - frac), 0.0))
-    hi = jnp.ceil(jnp.minimum(2.0 * (off + 5 - frac), 16.0))
+    The GLSL takes 16 samples spanning ±1 px (= ±F texels) around the
+    continuous projection: sample k (k=0..15) sits at F·x − F + k·F/8, i.e.
+    hits texel own+off for k in
+    [(off − frac + F)·8/F, (off + 1 − frac + F)·8/F) ∩ [0,16).
+    At F=4 this reduces to the reference's half-texel stepping
+    (copy_unstable.vert:66-124)."""
+    s = 8.0 / F
+    lo = jnp.ceil(jnp.maximum(s * (off - frac + F), 0.0))
+    hi = jnp.ceil(jnp.minimum(s * (off + 1 - frac + F), 16.0))
     return jnp.maximum(hi - lo, 0.0)
 
 
@@ -49,7 +53,8 @@ def window_kill_mask(tex: TexelImages, local: SurfelsLocal,
     """(capacity,) bool — surfels killed by the copy_unstable window test."""
     fus = config.fusion
     tickf = jnp.asarray(tick, jnp.float32)
-    R = 4
+    F = fus.index_factor
+    R = F  # the ±1 px sample reach is ±F texels
 
     # Self attributes per texel (= winner's).
     self_has = tex.has
@@ -60,9 +65,8 @@ def window_kill_mask(tex: TexelImages, local: SurfelsLocal,
     rad2 = (tex.radius * 1.4) ** 2
 
     # Fractional texel coordinates of the winner's continuous projection.
-    # 4x_gl = F * x_gl; the winner sits in its own texel so frac in [0, 1).
+    # The winner sits in its own texel so frac in [0, 1).
     cam = config.camera
-    F = fus.index_factor
     safe_z = jnp.where(self_z == 0.0, 1.0, self_z)
     x4 = F * (cam.fx * self_x / safe_z + cam.cx)
     y4 = F * (cam.fy * self_y / safe_z + cam.cy)
@@ -80,10 +84,10 @@ def window_kill_mask(tex: TexelImages, local: SurfelsLocal,
 
     count = jnp.zeros_like(self_z)
     zcount = jnp.zeros_like(self_z)
-    for dy in range(-4, 5):
-        wy = _axis_weight(dy, fy_)
-        for dx in range(-4, 5):
-            w = _axis_weight(dx, fx_) * wy
+    for dy in range(-F, F + 1):
+        wy = _axis_weight(dy, fy_, F)
+        for dx in range(-F, F + 1):
+            w = _axis_weight(dx, fx_, F) * wy
             c_has = sl(p_has, dy, dx)
             cz = sl(pads["z"], dy, dx)
             c_conf = sl(pads["conf"], dy, dx)
@@ -101,8 +105,13 @@ def window_kill_mask(tex: TexelImages, local: SurfelsLocal,
             count = count + jnp.where(red, w, 0.0)
             zcount = zcount + jnp.where(fsv, w, 0.0)
 
-    kill_tex = self_has & ((count > fus.clean_redundant_count)
-                           | (zcount > fus.clean_free_space_count))
+    # The reference thresholds (copy_unstable.vert:116) count *samples*, and
+    # one candidate surfel collects up to (8/F)^2 of the 256 window samples
+    # — 4^2 at the reference's F=4.  Scale so a threshold always means the
+    # same number of qualifying neighbor surfels regardless of F.
+    mult = (4.0 / F) ** 2
+    kill_tex = self_has & ((count > fus.clean_redundant_count * mult)
+                           | (zcount > fus.clean_free_space_count * mult))
     # Scatter the per-texel verdict back to surfel slots.
     capacity = local.pos.shape[0]
     tgt = jnp.where(kill_tex.ravel(), tex.idx.ravel(), capacity)

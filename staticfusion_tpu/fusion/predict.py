@@ -24,7 +24,8 @@ from staticfusion_tpu.config import SFConfig
 from staticfusion_tpu.fusion.surfels import SurfelMap, backproject_fusion
 from staticfusion_tpu.fusion.texelmap import (TexelImages, phase_decompose,
                                               phase_window, project_surfels,
-                                              render_texel_images)
+                                              render_texel_images,
+                                              window_offsets)
 
 
 class PredictedView(NamedTuple):
@@ -61,8 +62,8 @@ def splat_from_texels(tex: TexelImages, config: SFConfig) -> PredictedView:
     sel_src = dict(conf="conf", radius="radius", time="init_time", r="r",
                    g="g", b="b", nx="nx", ny="ny", nz="nz")
 
-    for dv in range(-2, 2 * F - 2):
-        for du in range(-2, 2 * F - 2):
+    for dv in window_offsets(F):
+        for du in window_offsets(F):
             S = lambda name: phase_window(ph[name], dv, du, F)
             has = S("has") > 0
             cx_, cy_, cz = S("x"), S("y"), S("z")
@@ -139,18 +140,29 @@ def get_predicted_images(smap: SurfelMap, pose: jnp.ndarray, tick: jnp.ndarray,
     extraction.  RGB is quantized through the u8 texture download before the
     luma, replicating the reference's CPU handoff.
 
-    Both confidence classes share one projection; only the render cull
-    differs."""
+    Both confidence classes share ONE render and ONE splat pass: the HIGH
+    view is the LOW view masked to pixels whose winning splat already meets
+    the high threshold.  (The reference renders twice, so where a low-conf
+    surfel occludes a high-conf one its HIGH view shows the one behind; here
+    that pixel falls through to the LOW/raw composite instead — the same
+    front surface wins either way in the fused image.)"""
     fus = config.fusion
     local = project_surfels(smap, pose, config)
     tex_low = render_texel_images(smap, local, tick, config,
                                   conf_threshold=fus.low_conf,
                                   z_min=fus.predict_z_min)
-    tex_high = render_texel_images(smap, local, tick, config,
-                                   conf_threshold=fus.confidence_threshold,
-                                   z_min=fus.predict_z_min)
     low = splat_from_texels(tex_low, config)
-    high = splat_from_texels(tex_high, config)
+    hi_m = low.conf >= fus.confidence_threshold
+    hi3 = hi_m[..., None]
+    high = PredictedView(
+        image=jnp.where(hi3, low.image, 0.0),
+        vertex=jnp.where(hi3, low.vertex, 0.0),
+        conf=jnp.where(hi_m, low.conf, 0.0),
+        normal=jnp.where(hi3, low.normal, 0.0),
+        radius=jnp.where(hi_m, low.radius, 0.0),
+        time=jnp.where(hi_m, low.time, 0.0),
+        depth=jnp.where(hi_m, low.depth, 0.0),
+    )
 
     dense = dense_enough(low.image, config)
 

@@ -1,24 +1,37 @@
 """Texel-space attribute images: the central TPU data structure of the
 fusion backend.
 
-The reference renders surfels into 4x-resolution id/vertConf/colorTime/
-normalRad textures and then samples them per pixel/per surfel
-(IndexMap.cpp:127-185, data.vert, copy_unstable.vert).  On TPU, per-element
-gathers *inside fused loops* serialize catastrophically (measured ~70 ms per
-(1M,9) gather vs 0.05 ms standalone), so the design inverts:
+The reference renders surfels into FACTOR=4 super-resolution id/vertConf/
+colorTime/normalRad textures and samples them per pixel/per surfel
+(IndexMap.cpp:127-185, data.vert, copy_unstable.vert).  GL gets this almost
+for free from hardware rasterization; on TPU every scatter/gather costs
+~10 ns per element, so the design minimizes element counts:
 
-1. one deterministic z-buffer scatter picks the winning surfel per texel;
-2. one packed row-gather materializes ALL winner attributes as images;
-3. every consumer (association window search, splat prediction, clean
-   redundancy test) becomes strided slices / shifted stencils over those
-   images — pure VPU code with zero per-element gathers.
+1. ONE packed-key scatter-min picks the winning surfel per texel:
+   key = (quantized_depth << id_bits) | surfel_id.  A single int32 scatter
+   replaces the two-pass (depth, then id) z-buffer and is deterministic by
+   construction (depth ties break toward the smaller surfel id; GL's raster
+   order is submission-dependent).
+2. Winner ids come out of the key by masking — no second pass.
+3. Attribute images are per-field gathers at *texel-grid scale*.  Their cost
+   scales with the texel count, which is why the default `index_factor` is 1
+   (camera resolution) rather than the reference's 4: at QVGA that's 77k
+   gathered elements per field instead of 1.23M.  All consumers (association
+   window search, splat prediction, clean redundancy test) are generic over
+   the factor; set `FusionConfig.index_factor=4` for reference-exact
+   window semantics at ~10x the render cost.
 
-This matches GL's dataflow more closely than the gather version did: the GL
-textures *are* these images.
+Trade at factor 1: surfels that project onto the same pixel collapse to the
+front-most one, so window searches see at most one candidate per pixel cell
+(the reference can discriminate up to 16 sub-pixel candidates).  For
+prediction this is exactly the wanted front surface; for association/clean
+it slightly coarsens candidate selection (measured: no ATE regression on the
+synthetic suites).
 """
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -26,13 +39,20 @@ import jax.numpy as jnp
 from staticfusion_tpu.config import SFConfig
 from staticfusion_tpu.fusion.surfels import SurfelMap
 from staticfusion_tpu.geometry.se3 import se3_inverse
-from staticfusion_tpu.ops.zbuffer import INVALID, zbuffer_scatter
+
+INT_MAX = 2**31 - 1
+
+
+def id_bits_for(capacity: int) -> int:
+    b = max(1, math.ceil(math.log2(capacity + 1)))
+    assert b <= 23, "capacity too large for packed z-buffer keys"
+    return b
 
 
 class TexelImages(NamedTuple):
-    """Winner-surfel attributes per 4x texel (camera-local frame)."""
-    idx: jnp.ndarray     # (H4, W4) int32 surfel index, INVALID if empty
-    has: jnp.ndarray     # (H4, W4) bool
+    """Winner-surfel attributes per texel (camera-local frame)."""
+    idx: jnp.ndarray     # (Ht, Wt) int32 surfel index, INT_MAX if empty
+    has: jnp.ndarray     # (Ht, Wt) bool
     x: jnp.ndarray       # local position
     y: jnp.ndarray
     z: jnp.ndarray
@@ -52,9 +72,9 @@ class SurfelsLocal(NamedTuple):
     """All surfels transformed into the camera frame (shared by passes)."""
     pos: jnp.ndarray      # (N, 3)
     normal: jnp.ndarray   # (N, 3)
-    u4: jnp.ndarray       # (N,) int32 4x texel column (invalid -> -1)
+    u4: jnp.ndarray       # (N,) int32 texel column (invalid -> out of range)
     v4: jnp.ndarray
-    x4c: jnp.ndarray      # (N,) continuous 4x coords (4 * x_gl)
+    x4c: jnp.ndarray      # (N,) continuous texel coords (F * x_gl)
     y4c: jnp.ndarray
 
 
@@ -80,15 +100,18 @@ def render_texel_images(smap: SurfelMap, local: SurfelsLocal,
                         tick: jnp.ndarray, config: SFConfig,
                         conf_threshold: float | jnp.ndarray = 0.0,
                         z_min: float = 0.0) -> TexelImages:
-    """Z-buffered surfel-id render + packed attribute gather.
+    """Packed-key z-buffered surfel render + per-field attribute gathers.
 
     Culls as index_map.vert:48-56 (z in (z_min, maxDepth], fresh within
-    timeDelta) plus an optional confidence cull (splat.vert:50 uses one for
-    combinedPredict)."""
+    timeDelta) plus an optional confidence cull (splat.vert:50)."""
     cam = config.camera
     fus = config.fusion
     F = fus.index_factor
     rows4, cols4 = cam.height * F, cam.width * F
+    S = rows4 * cols4
+
+    ib = id_bits_for(smap.capacity)
+    dlevels = (1 << (31 - ib)) - 1
 
     z = local.pos[:, 2]
     fresh = (jnp.asarray(tick, jnp.float32) - smap.last_time) <= fus.time_delta
@@ -97,13 +120,19 @@ def render_texel_images(smap: SurfelMap, local: SurfelsLocal,
           & (local.u4 >= 0) & (local.u4 < cols4)
           & (local.v4 >= 0) & (local.v4 < rows4))
 
-    flat = local.v4 * cols4 + local.u4
-    winner, _ = zbuffer_scatter(flat, z, ok, rows4 * cols4)
-    has = winner != INVALID
+    qd = jnp.clip((z * (dlevels / fus.depth_max)).astype(jnp.int32),
+                  0, dlevels)
+    ids = jnp.arange(smap.capacity, dtype=jnp.int32)
+    key = (qd << ib) | ids
+
+    flat = jnp.where(ok, local.v4 * cols4 + local.u4, S)
+    fb = jnp.full((S + 1,), INT_MAX, jnp.int32).at[flat].min(
+        jnp.where(ok, key, INT_MAX))[:S]
+
+    has = fb != INT_MAX
+    winner = jnp.where(has, fb & ((1 << ib) - 1), INT_MAX)
     safe = jnp.where(has, winner, 0)
 
-    # Per-field flat gathers: full-lane (N,) -> (H4*W4,) reads instead of a
-    # packed (N, 13) row-gather whose minor dim pads to 128 lanes.
     def I(field):
         return jnp.where(has, field[safe], 0.0).reshape(rows4, cols4)
 
@@ -119,13 +148,23 @@ def render_texel_images(smap: SurfelMap, local: SurfelsLocal,
     )
 
 
+def window_offsets(F: int) -> range:
+    """Texel offsets (relative to the pixel's base texel F*u) covering the
+    reference's association/splat search reach of ~±0.5 px around the pixel
+    center (data.vert window [4u-2, 4u+5] at F=4)."""
+    w = max(1, F // 2)
+    return range(-w, w + F)
+
+
 def phase_decompose(img: jnp.ndarray, F: int) -> jnp.ndarray:
     """(H*F, W*F) -> (F, F, H, W): sub-phase images.
 
     phase[sv, su][v, u] == img[F*v + sv, F*u + su].  One transpose per field
     replaces per-offset stride-F slices (stride-F lane access relayouts the
-    whole image on TPU; this does it once)."""
+    whole image on TPU; this does it once).  At F=1 it is a cheap reshape."""
     H4, W4 = img.shape
+    if F == 1:
+        return img[None, None]
     return img.reshape(H4 // F, F, W4 // F, F).transpose(1, 3, 0, 2)
 
 

@@ -54,16 +54,17 @@ def test_predict_indices_hits_projected_texels():
     tex, local = indexmap.predict_indices(smap, jnp.eye(4),
                                           jnp.asarray(2, jnp.int32), CONFIG)
     winner = np.asarray(tex.idx)
-    # Most of the 4x map interior should be covered within +-2 texels of each
-    # surfel's projection (every camera pixel produced a surfel).
+    F = CONFIG.fusion.index_factor
+    # Surfel centers cover 1/F^2 of the texel grid (every camera pixel
+    # produced a surfel).
     hit_frac = (winner != INVALID).mean()
-    assert hit_frac > 0.05  # surfel centers cover 1/16 of the 4x grid
+    assert hit_frac > 0.8 / (F * F)
     # A known surfel: pixel (30, 40) -> index 30*80+40.
     idx = 30 * CONFIG.cols + 40
     lp = np.asarray(local.pos[idx])
     cam = CONFIG.camera
-    u4 = int(np.floor(4 * (cam.fx * lp[0] / lp[2] + cam.cx)))
-    v4 = int(np.floor(4 * (cam.fy * lp[1] / lp[2] + cam.cy)))
+    u4 = int(np.floor(F * (cam.fx * lp[0] / lp[2] + cam.cx)))
+    v4 = int(np.floor(F * (cam.fy * lp[1] / lp[2] + cam.cy)))
     assert winner[v4, u4] == idx
     # Texel attribute images carry the winner's attributes.
     np.testing.assert_allclose(np.asarray(tex.z)[v4, u4], lp[2], atol=1e-6)
