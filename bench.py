@@ -61,6 +61,11 @@ def main():
 
     state, counts = run_batch(state, batch)  # compile + warmup
     np.asarray(counts[-1])  # sync (block_until_ready lies on this platform)
+    # Second warmup on the *chained* state: if any state leaf's aval drifts
+    # (e.g. weak_type) across a step, the recompile happens here, not in the
+    # timed region.
+    state, counts = run_batch(state, batch)
+    np.asarray(counts[-1])
 
     t0 = time.perf_counter()
     state, counts = run_batch(state, batch)

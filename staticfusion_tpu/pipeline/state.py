@@ -54,5 +54,6 @@ def init_state(config: SFConfig) -> SlamState:
         prev_rgb=jnp.zeros((rows, cols, 3)),
         prev_filt_depth=jnp.zeros((rows, cols)),
         prev_static_prob=jnp.zeros((rows, cols)),
-        per_cluster_residual=jnp.full((config.num_clusters,), jnp.nan),
+        per_cluster_residual=jnp.full((config.num_clusters,), jnp.nan,
+                                      dtype=jnp.float32),
     )
