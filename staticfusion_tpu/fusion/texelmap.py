@@ -133,18 +133,27 @@ def render_texel_images(smap: SurfelMap, local: SurfelsLocal,
     winner = jnp.where(has, fb & ((1 << ib) - 1), INT_MAX)
     safe = jnp.where(has, winner, 0)
 
-    def I(field):
-        return jnp.where(has, field[safe], 0.0).reshape(rows4, cols4)
+    # One (13, capacity) gather instead of 13: TPU gather cost scales with
+    # the index count, not the gathered row width.
+    stacked = jnp.stack([
+        local.pos[:, 0], local.pos[:, 1], local.pos[:, 2],
+        local.normal[:, 0], local.normal[:, 1], local.normal[:, 2],
+        smap.radius, smap.conf, smap.init_time, smap.last_time,
+        smap.color[:, 0], smap.color[:, 1], smap.color[:, 2],
+    ])
+    g = jnp.where(has[None, :], stacked[:, safe], 0.0)
+
+    def I(row):
+        return g[row].reshape(rows4, cols4)
 
     return TexelImages(
         idx=winner.reshape(rows4, cols4),
         has=has.reshape(rows4, cols4),
-        x=I(local.pos[:, 0]), y=I(local.pos[:, 1]), z=I(local.pos[:, 2]),
-        nx=I(local.normal[:, 0]), ny=I(local.normal[:, 1]),
-        nz=I(local.normal[:, 2]),
-        radius=I(smap.radius), conf=I(smap.conf),
-        init_time=I(smap.init_time), last_time=I(smap.last_time),
-        r=I(smap.color[:, 0]), g=I(smap.color[:, 1]), b=I(smap.color[:, 2]),
+        x=I(0), y=I(1), z=I(2),
+        nx=I(3), ny=I(4), nz=I(5),
+        radius=I(6), conf=I(7),
+        init_time=I(8), last_time=I(9),
+        r=I(10), g=I(11), b=I(12),
     )
 
 

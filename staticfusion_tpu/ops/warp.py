@@ -125,6 +125,112 @@ def warp_forward_splat(src_depth: jnp.ndarray,
     return depth_w, intensity_w, wacu
 
 
+def _bilinear_sample(fields: jnp.ndarray, valid: jnp.ndarray,
+                     u: jnp.ndarray, v: jnp.ndarray, rows_i: int, cols_i: int):
+    """Validity-weighted bilinear sampling.
+
+    fields: (C, rows*cols) flattened channels; valid: (rows, cols) bool.
+    u, v: (N,) continuous pixel coordinates.  Returns ((C, N) samples,
+    (N,) total weight) — samples are normalized by the accumulated validity
+    weight; weight 0 means no valid support.
+    """
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = u - u0
+    fv = v - v0
+    u0 = jnp.clip(u0.astype(jnp.int32), 0, cols_i - 1)
+    v0 = jnp.clip(v0.astype(jnp.int32), 0, rows_i - 1)
+
+    # TPU gathers cost ~the index count regardless of how many rows each
+    # index pulls, so the 4 corner gathers x C fields collapse into ONE
+    # gather from a (4*(C+1), N) stack of corner-shifted images (validity
+    # rides along as an extra channel; out-of-image corners read the
+    # zero padding and drop out through the validity weight).
+    c = fields.shape[0]
+    imgs = jnp.concatenate(
+        [fields, valid.ravel().astype(fields.dtype)[None, :]],
+        axis=0).reshape(c + 1, rows_i, cols_i)
+    shifted = [jnp.pad(imgs, ((0, 0), (0, dv), (0, du)))[:, dv:dv + rows_i,
+                                                         du:du + cols_i]
+               for dv in (0, 1) for du in (0, 1)]
+    stack = jnp.concatenate(shifted, axis=0).reshape(4 * (c + 1), -1)
+
+    g = stack[:, v0 * cols_i + u0]
+    corner_w = ((1 - fu) * (1 - fv), fu * (1 - fv), (1 - fu) * fv, fu * fv)
+    acc = jnp.zeros((c, u.shape[0]), fields.dtype)
+    wacc = jnp.zeros(u.shape, fields.dtype)
+    for k, w in enumerate(corner_w):
+        blk = g[k * (c + 1):(k + 1) * (c + 1)]
+        wgt = w * blk[c]
+        acc = acc + blk[:c] * wgt[None, :]
+        wacc = wacc + wgt
+    safe = jnp.where(wacc > 0.0, wacc, 1.0)
+    return acc / safe[None, :], wacc
+
+
+def warp_images_gather(pred: PyramidLevel, cur_depth: jnp.ndarray,
+                       T_odometry: jnp.ndarray, fovh: float) -> WarpedImages:
+    """TPU-native inverse warp: resample the prediction onto the current grid.
+
+    Replaces the reference's forward-splat (`warpImagesAccurateInverse`,
+    FrontEnd.cpp:775-892) with a gather formulation: each current pixel's
+    back-projected point (using the *current* depth as the correspondence
+    proxy) is pushed through T_odometry into the predicted view, where depth/
+    intensity/coordinates are sampled bilinearly (validity-weighted); the
+    sampled predicted point is then re-expressed in the current frame.  At
+    the solver's fixed point the two formulations agree; off-convergence both
+    are first-order approximations.  Gathers ride the TPU's vectorized
+    loads — no scatter conflicts, no z-buffer needed.
+    """
+    rows_i, cols_i = pred.depth.shape
+    f, disp_u, disp_v = solver_camera_params(rows_i, cols_i, fovh)
+    dtype = pred.depth.dtype
+
+    # Current-pixel 3D points (x right, y down, z forward as in the splat).
+    uu = jnp.arange(cols_i, dtype=dtype)[None, :] - disp_u
+    vv = jnp.arange(rows_i, dtype=dtype)[:, None] - disp_v
+    inv_f = 1.0 / f
+    z_c = cur_depth
+    x_c = uu * z_c * inv_f
+    y_c = vv * z_c * inv_f
+
+    # Into the predicted frame: X_pred = T_odometry @ X_cur
+    # (the splat path applies T_odometry^-1 to predicted points).
+    T = T_odometry
+    x_p = T[0, 0] * x_c + T[0, 1] * y_c + T[0, 2] * z_c + T[0, 3]
+    y_p = T[1, 0] * x_c + T[1, 1] * y_c + T[1, 2] * z_c + T[1, 3]
+    z_p = T[2, 0] * x_c + T[2, 1] * y_c + T[2, 2] * z_c + T[2, 3]
+
+    ok = (z_c != 0.0) & (z_p > 0.0)
+    safe_z = jnp.where(ok, z_p, 1.0)
+    u_s = f * x_p / safe_z + disp_u
+    v_s = f * y_p / safe_z + disp_v
+    in_b = (u_s >= 0.0) & (u_s <= cols_i - 1) & (v_s >= 0.0) & (v_s <= rows_i - 1)
+    ok = ok & in_b
+    u_s = jnp.clip(u_s, 0.0, cols_i - 1).ravel()
+    v_s = jnp.clip(v_s, 0.0, rows_i - 1).ravel()
+
+    fields = jnp.stack([pred.depth.ravel(), pred.intensity.ravel(),
+                        pred.xx.ravel(), pred.yy.ravel()])
+    samples, w = _bilinear_sample(fields, pred.depth != 0.0, u_s, v_s,
+                                  rows_i, cols_i)
+    hit = ok.ravel() & (w > 0.0)
+
+    d_s, i_s, xx_s, yy_s = samples
+    # Sampled predicted point expressed in the current frame.
+    from staticfusion_tpu.geometry.se3 import se3_inverse
+    Ti = se3_inverse(T_odometry)
+    z_w = Ti[2, 0] * xx_s + Ti[2, 1] * yy_s + Ti[2, 2] * d_s + Ti[2, 3]
+    hit = hit & (z_w > 0.0)
+
+    depth_w = jnp.where(hit, z_w, 0.0).reshape(rows_i, cols_i)
+    intensity_w = jnp.where(hit, i_s, 0.0).reshape(rows_i, cols_i)
+    nonzero = depth_w != 0.0
+    xx_w = jnp.where(nonzero, uu * depth_w * inv_f, 0.0)
+    yy_w = jnp.where(nonzero, vv * depth_w * inv_f, 0.0)
+    return WarpedImages(depth=depth_w, intensity=intensity_w, xx=xx_w, yy=yy_w)
+
+
 def warp_images_inverse(pred: PyramidLevel, T_odometry: jnp.ndarray,
                         fovh: float) -> WarpedImages:
     """Warp the prediction pyramid level into the current frame

@@ -22,7 +22,18 @@ import jax.numpy as jnp
 
 from staticfusion_tpu.config import SFConfig, NUM_CLUSTERS
 from staticfusion_tpu.ops.derivatives import Derivatives, InterCoords, PreWeights
+from staticfusion_tpu.ops.smallsolve import eigh_jacobi, spd_inverse, spd_solve
 from staticfusion_tpu.solver.segmentation import SegPrior, solve_segm_iteration
+
+
+def cluster_onehot(labels: jnp.ndarray) -> jnp.ndarray:
+    """(N, K+1) float one-hot of the flattened cluster labels (column K =
+    invalid).  Per-cluster reductions and b_segm broadcasts become skinny
+    matmuls on the MXU instead of scatter/gather — the TPU replacement for
+    the reference's per-pixel label loops (FrontEnd.cpp:650-667)."""
+    flat = jnp.clip(labels.ravel(), 0, NUM_CLUSTERS).astype(jnp.int32)
+    return (flat[:, None] == jnp.arange(NUM_CLUSTERS + 1)[None, :]).astype(
+        jnp.float32)
 
 
 class JacobianSystem(NamedTuple):
@@ -30,7 +41,8 @@ class JacobianSystem(NamedTuple):
     B_c: jnp.ndarray   # (N,)
     A_d: jnp.ndarray   # (N, 6) geometric rows
     B_d: jnp.ndarray   # (N,)
-    labels: jnp.ndarray  # (N,) int32 in [0, K]
+    onehot: jnp.ndarray  # (N, K+1) float cluster one-hot (col K = invalid)
+    cluster_counts: jnp.ndarray  # (K,) pixels per cluster
     valid_count: jnp.ndarray  # scalar — number of valid pixels
 
 
@@ -42,7 +54,7 @@ class IRLSResult(NamedTuple):
 
 
 def build_jacobian(inter: InterCoords, deriv: Derivatives, w: PreWeights,
-                   labels: jnp.ndarray, config: SFConfig) -> JacobianSystem:
+                   onehot: jnp.ndarray, config: SFConfig) -> JacobianSystem:
     """Photometric + geometric rows of the range/optical-flow constraint
     (FrontEnd.cpp:537-586) for twist xi = (vx, vy, vz, wx, wy, wz)."""
     rows_i, cols_i = inter.depth.shape
@@ -73,7 +85,8 @@ def build_jacobian(inter: InterCoords, deriv: Derivatives, w: PreWeights,
 
     return JacobianSystem(
         A_c=A_c, B_c=B_c, A_d=A_d, B_d=B_d,
-        labels=labels.ravel().astype(jnp.int32),
+        onehot=onehot,
+        cluster_counts=jnp.sum(onehot[:, :NUM_CLUSTERS], axis=0),
         valid_count=jnp.sum(inter.valid.astype(jnp.float32)),
     )
 
@@ -105,12 +118,12 @@ def solve_irls(sys: JacobianSystem, b_segm0: jnp.ndarray, prior: SegPrior,
         (var, prev_sol, b_segm, res_c, res_d, aver_res, AtA_last, done) = carry
 
         inv_c = 1.0 / (s.kc_cauchy * jnp.maximum(aver_res, 1e-20))
-        b_weight = jnp.clip(b_ext(b_segm)[sys.labels], 0.0, 1.0)
+        b_weight = sys.onehot @ jnp.clip(b_ext(b_segm), 0.0, 1.0)
         wc = b_weight * jnp.sqrt(1.0 / (1.0 + (res_c * inv_c) ** 2))
         wd = b_weight * jnp.sqrt(1.0 / (1.0 + (res_d * inv_c) ** 2))
 
         AtA, AtB = _normal_equations(sys.A_c, sys.B_c, sys.A_d, sys.B_d, wc, wd)
-        new_var = jnp.linalg.solve(AtA + 1e-12 * jnp.eye(6), AtB)
+        new_var = spd_solve(AtA, AtB, ridge=1e-12)
 
         new_res_c = sys.A_c @ new_var - sys.B_c
         new_res_d = sys.A_d @ new_var - sys.B_d
@@ -118,11 +131,8 @@ def solve_irls(sys: JacobianSystem, b_segm0: jnp.ndarray, prior: SegPrior,
         # Per-cluster average residuals (FrontEnd.cpp:650-667); the +1 pixel
         # and /2 factors replicate the reference's accounting exactly.
         ress = jnp.abs(new_res_c) + jnp.abs(new_res_d)
-        lbl = sys.labels
-        sums = jnp.zeros((k + 1,), ress.dtype).at[lbl].add(ress)[:k]
-        cnts = jnp.zeros((k + 1,), jnp.float32).at[lbl].add(
-            (lbl < k).astype(jnp.float32))[:k]
-        aver_res_label = sums / (2.0 * (cnts + 1.0))
+        sums = (ress @ sys.onehot)[:k]
+        aver_res_label = sums / (2.0 * (sys.cluster_counts + 1.0))
         aver_res_old = aver_res
         new_aver_res = jnp.sum(sums) / n2
 
@@ -144,7 +154,7 @@ def solve_irls(sys: JacobianSystem, b_segm0: jnp.ndarray, prior: SegPrior,
         0, s.max_iter_irls, body, init)
 
     res_sq = jnp.sum(res_c * res_c) + jnp.sum(res_d * res_d)
-    est_cov = jnp.linalg.inv(AtA + 1e-12 * jnp.eye(6)) * res_sq  # FrontEnd.cpp:689
+    est_cov = spd_inverse(AtA, ridge=1e-12) * res_sq  # FrontEnd.cpp:689
     return IRLSResult(twist=var, est_cov=est_cov, b_segm=b_segm,
                       aver_res=aver_res)
 
@@ -155,7 +165,7 @@ def motion_filter(twist: jnp.ndarray, est_cov: jnp.ndarray,
     """Low-pass the level twist in the eigenbasis of the covariance
     (FrontEnd.cpp:713-756). `accumulated_twist` = log(T_odometry) so far."""
     s = config.solver
-    eigvals, eigvecs = jnp.linalg.eigh(est_cov)
+    eigvals, eigvecs = eigh_jacobi(est_cov)
     kai_b = eigvecs.T @ twist
     kai_loc_sub = twist_old - accumulated_twist
     kai_b_old = eigvecs.T @ kai_loc_sub

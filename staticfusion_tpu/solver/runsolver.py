@@ -24,10 +24,11 @@ from staticfusion_tpu.ops.derivatives import (calculate_coords,
                                               calculate_derivatives,
                                               compute_weights)
 from staticfusion_tpu.ops.pyramid import Pyramid, PyramidLevel
-from staticfusion_tpu.ops.warp import WarpedImages, warp_images_inverse
+from staticfusion_tpu.ops.warp import (WarpedImages, warp_images_gather,
+                                       warp_images_inverse)
 from staticfusion_tpu.solver.clustering import Clustering, cluster_frame
-from staticfusion_tpu.solver.irls import (build_jacobian, motion_filter,
-                                          solve_irls)
+from staticfusion_tpu.solver.irls import (build_jacobian, cluster_onehot,
+                                          motion_filter, solve_irls)
 from staticfusion_tpu.solver.segmentation import (compute_seg_prior,
                                                   reg_normal_matrix)
 
@@ -42,14 +43,14 @@ class SolverResult(NamedTuple):
 
 
 def _solve_at_level(cur: PyramidLevel, warped: WarpedImages,
-                    labels: jnp.ndarray, b_segm, reg_ata, level_idx: int,
+                    onehot: jnp.ndarray, b_segm, reg_ata, level_idx: int,
                     T_odo, twist_old, config: SFConfig, kb=None):
     """One warp-free solver iteration at a level; returns updated state."""
     inter = calculate_coords(cur, warped)
     deriv = calculate_derivatives(inter, cur, warped)
     w = compute_weights(deriv, inter.valid)
-    prior = compute_seg_prior(labels, inter.null, deriv.ddt, config)
-    sys = build_jacobian(inter, deriv, w, labels, config)
+    prior = compute_seg_prior(onehot, inter.null, deriv.ddt, config)
+    sys = build_jacobian(inter, deriv, w, onehot, config)
 
     # At the coarsest level the segmentation restarts from the prior
     # (FrontEnd.cpp:604); later levels refine the carried solution.
@@ -82,7 +83,7 @@ def run_solver(cur_pyr: Pyramid, pred_pyr: Pyramid, twist_old: jnp.ndarray,
         image_level = n_levels - 1 - level_idx
         cur = cur_pyr[image_level]
         pred = pred_pyr[image_level]
-        labels = clustering.labels[image_level]
+        onehot = cluster_onehot(clustering.labels[image_level])
         done = jnp.asarray(False)
 
         def iteration(carry, first: bool):
@@ -93,9 +94,9 @@ def run_solver(cur_pyr: Pyramid, pred_pyr: Pyramid, twist_old: jnp.ndarray,
                 warped = WarpedImages(depth=pred.depth, intensity=pred.intensity,
                                       xx=pred.xx, yy=pred.yy)
             else:
-                warped = warp_images_inverse(pred, T_odo, fovh)
+                warped = warp_images_gather(pred, cur.depth, T_odo, fovh)
             T_new, b_new, converged, ddt_new = _solve_at_level(
-                cur, warped, labels, b_segm, reg_ata, level_idx, T_odo,
+                cur, warped, onehot, b_segm, reg_ata, level_idx, T_odo,
                 twist_old, config, kb=kb)
             T_odo = jnp.where(done, T_odo, T_new)
             b_segm = jnp.where(done, b_segm, b_new)

@@ -17,6 +17,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from staticfusion_tpu.config import SFConfig, NUM_CLUSTERS
+from staticfusion_tpu.ops.smallsolve import spd_solve
 
 
 class SegPrior(NamedTuple):
@@ -24,25 +25,22 @@ class SegPrior(NamedTuple):
     lambda_t_w: jnp.ndarray  # (K,) per-cluster trust
 
 
-def compute_seg_prior(labels: jnp.ndarray, null: jnp.ndarray,
+def compute_seg_prior(onehot: jnp.ndarray, null: jnp.ndarray,
                       ddt: jnp.ndarray, config: SFConfig) -> SegPrior:
     """Per-cluster temporal prior b_prior = mean(1 - kz*|ddt|) over non-null
     pixels; clusters with <10% valid depth get prior -1 and trust 0.1
-    (SegmentationBackground.cpp:53-103)."""
+    (SegmentationBackground.cpp:53-103).  `onehot` is the (N, K+1) cluster
+    one-hot (irls.cluster_onehot) — the three per-cluster reductions are
+    skinny MXU matmuls instead of scatters."""
     kz = config.solver.kz
     k = NUM_CLUSTERS
-    flat_l = labels.ravel()
-    has_label = flat_l < k
-    nonnull = has_label & (~null.ravel())
-    contrib = jnp.where(nonnull, 1.0 - kz * jnp.abs(ddt.ravel()), 0.0)
+    oh = onehot[:, :k]
+    nonnull = (~null.ravel()).astype(jnp.float32)
+    contrib = nonnull * (1.0 - kz * jnp.abs(ddt.ravel()))
 
-    idx = jnp.where(has_label, flat_l, k)
-    size = jnp.zeros((k + 1,), jnp.float32).at[idx].add(
-        has_label.astype(jnp.float32))[:k]
-    idx_nn = jnp.where(nonnull, flat_l, k)
-    nn = jnp.zeros((k + 1,), jnp.float32).at[idx_nn].add(
-        nonnull.astype(jnp.float32))[:k]
-    b_sum = jnp.zeros((k + 1,), jnp.float32).at[idx_nn].add(contrib)[:k]
+    size = jnp.sum(oh, axis=0)
+    nn = nonnull @ oh
+    b_sum = contrib @ oh
 
     ratio = jnp.where(size > 0, nn / jnp.maximum(size, 1.0), 0.0)
     b_mean = jnp.clip(b_sum / jnp.maximum(nn, 1.0), -1.0, 2.0)
@@ -96,10 +94,9 @@ def solve_segm_iteration(b_segm: jnp.ndarray,
     )
 
     ata = jnp.diag(a_diag * a_diag) + reg_ata
-    ata = ata + 1e-6 * jnp.eye(NUM_CLUSTERS)  # ridge for empty clusters
     atb = a_diag * b_rhs
     del b_segm  # the solve is independent of the previous iterate
-    sol = jnp.linalg.solve(ata, atb)
+    sol = spd_solve(ata, atb, ridge=1e-6)  # ridge covers empty clusters
     return jnp.clip(sol, -1.0, 2.0)
 
 

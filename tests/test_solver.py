@@ -72,8 +72,10 @@ def test_seg_prior_formula(rng):
     labels = rng.integers(0, 3, (rows, cols)).astype(np.int32)
     null = rng.random((rows, cols)) < 0.3
     ddt = (rng.random((rows, cols)) - 0.5).astype(np.float32) * 0.2
+    from staticfusion_tpu.solver.irls import cluster_onehot
     prior = segmentation.compute_seg_prior(
-        jnp.asarray(labels), jnp.asarray(null), jnp.asarray(ddt), CONFIG)
+        cluster_onehot(jnp.asarray(labels)), jnp.asarray(null),
+        jnp.asarray(ddt), CONFIG)
     kz = CONFIG.solver.kz
     for l in range(3):
         size = (labels == l).sum()
