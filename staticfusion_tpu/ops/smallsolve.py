@@ -13,9 +13,28 @@ control flow, everything fuses.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _RIDGE_FLOOR = 1e-30
+
+
+def spd_solve_fast(M: jnp.ndarray, b: jnp.ndarray,
+                   ridge: float = 0.0) -> jnp.ndarray:
+    """Backend-dispatched SPD solve: one Pallas kernel on TPU (Mosaic
+    schedules the whole unrolled Cholesky in-core, ~10 us vs ~120 us of XLA
+    op soup for 24x24), the trace-unrolled XLA version elsewhere."""
+    if jax.default_backend() == "tpu":
+        from staticfusion_tpu.kernels import smallsolve_pallas
+        return smallsolve_pallas.spd_solve(M, b, ridge=ridge)
+    return spd_solve(M, b, ridge=ridge)
+
+
+def spd_inverse_fast(M: jnp.ndarray, ridge: float = 0.0) -> jnp.ndarray:
+    if jax.default_backend() == "tpu":
+        from staticfusion_tpu.kernels import smallsolve_pallas
+        return smallsolve_pallas.spd_inverse(M, ridge=ridge)
+    return spd_inverse(M, ridge=ridge)
 
 
 def cholesky_factor(M: jnp.ndarray) -> jnp.ndarray:

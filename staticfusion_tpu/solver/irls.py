@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from staticfusion_tpu.config import SFConfig, NUM_CLUSTERS
 from staticfusion_tpu.ops.derivatives import Derivatives, InterCoords, PreWeights
-from staticfusion_tpu.ops.smallsolve import eigh_jacobi, spd_inverse, spd_solve
+from staticfusion_tpu.ops.smallsolve import spd_inverse_fast, spd_solve_fast
 from staticfusion_tpu.solver.segmentation import SegPrior, solve_segm_iteration
 
 
@@ -123,7 +123,7 @@ def solve_irls(sys: JacobianSystem, b_segm0: jnp.ndarray, prior: SegPrior,
         wd = b_weight * jnp.sqrt(1.0 / (1.0 + (res_d * inv_c) ** 2))
 
         AtA, AtB = _normal_equations(sys.A_c, sys.B_c, sys.A_d, sys.B_d, wc, wd)
-        new_var = spd_solve(AtA, AtB, ridge=1e-12)
+        new_var = spd_solve_fast(AtA, AtB, ridge=1e-12)
 
         new_res_c = sys.A_c @ new_var - sys.B_c
         new_res_d = sys.A_d @ new_var - sys.B_d
@@ -154,7 +154,7 @@ def solve_irls(sys: JacobianSystem, b_segm0: jnp.ndarray, prior: SegPrior,
         0, s.max_iter_irls, body, init)
 
     res_sq = jnp.sum(res_c * res_c) + jnp.sum(res_d * res_d)
-    est_cov = spd_inverse(AtA, ridge=1e-12) * res_sq  # FrontEnd.cpp:689
+    est_cov = spd_inverse_fast(AtA, ridge=1e-12) * res_sq  # FrontEnd.cpp:689
     return IRLSResult(twist=var, est_cov=est_cov, b_segm=b_segm,
                       aver_res=aver_res)
 
@@ -163,14 +163,19 @@ def motion_filter(twist: jnp.ndarray, est_cov: jnp.ndarray,
                   twist_old: jnp.ndarray, accumulated_twist: jnp.ndarray,
                   level: int, config: SFConfig) -> jnp.ndarray:
     """Low-pass the level twist in the eigenbasis of the covariance
-    (FrontEnd.cpp:713-756). `accumulated_twist` = log(T_odometry) so far."""
+    (FrontEnd.cpp:713-756). `accumulated_twist` = log(T_odometry) so far.
+
+    The reference eigendecomposes C = est_cov and blends per eigenmode with
+    weight cf*lambda_i + df.  That map is the degree-1 rational matrix
+    function x -> (x + (cf*C + df)x_old)/(1 + cf*C + df), so it collapses to
+    ONE 6x6 SPD solve — identical result, no eigendecomposition:
+        M = (1+df) I + cf C;  kai_fil = M^{-1} (kai + (cf C + df I) kai_old).
+    """
     s = config.solver
-    eigvals, eigvecs = eigh_jacobi(est_cov)
-    kai_b = eigvecs.T @ twist
     kai_loc_sub = twist_old - accumulated_twist
-    kai_b_old = eigvecs.T @ kai_loc_sub
     cf = s.previous_speed_eig_weight * math.exp(-level)
     df = s.previous_speed_const_weight * math.exp(-level)
-    blend = cf * eigvals + df
-    kai_b_fil = (kai_b + blend * kai_b_old) / (1.0 + blend)
-    return eigvecs @ kai_b_fil
+    eye = jnp.eye(6, dtype=est_cov.dtype)
+    M = (1.0 + df) * eye + cf * est_cov
+    rhs = twist + cf * (est_cov @ kai_loc_sub) + df * kai_loc_sub
+    return spd_solve_fast(M, rhs)

@@ -17,7 +17,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from staticfusion_tpu.config import SFConfig, NUM_CLUSTERS
-from staticfusion_tpu.ops.smallsolve import spd_solve
+from staticfusion_tpu.ops.smallsolve import spd_solve_fast
 
 
 class SegPrior(NamedTuple):
@@ -96,7 +96,7 @@ def solve_segm_iteration(b_segm: jnp.ndarray,
     ata = jnp.diag(a_diag * a_diag) + reg_ata
     atb = a_diag * b_rhs
     del b_segm  # the solve is independent of the previous iterate
-    sol = spd_solve(ata, atb, ridge=1e-6)  # ridge covers empty clusters
+    sol = spd_solve_fast(ata, atb, ridge=1e-6)  # ridge covers empty clusters
     return jnp.clip(sol, -1.0, 2.0)
 
 
