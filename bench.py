@@ -40,6 +40,15 @@ def main():
     state, _ = bootstrap_step(to_frame(0), to_frame(1),
                               jax.numpy.eye(4), config)
 
+    # Repack the map into the live-count tier (what SlamSystem does every
+    # few frames); the scan below then measures steady-state cost at the
+    # honest map size, with headroom for the run's insertions.
+    from staticfusion_tpu.fusion.surfels import compact_map, next_pow2
+
+    count = int(state.smap.count())
+    tier = min(capacity, max(4096, next_pow2(count + count // 4 + 4096)))
+    state = state._replace(smap=compact_map(state.smap, tier))
+
     # Device-resident frame loop: scan over a preloaded frame batch so the
     # measurement contains zero host round-trips (the tunnel's host<->device
     # latency would otherwise dominate).

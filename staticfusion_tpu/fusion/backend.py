@@ -73,11 +73,13 @@ def fuse_frame(smap: SurfelMap,
     # image and only *re-gather* the attributes the clean tests read — this
     # keeps the free-space test's `lastTime == tick` semantics exact while
     # saving a full render (one scatter + 15 gathers).
-    idx = tex.idx
     has = tex.has
-    safe = jnp.where(has, idx, 0)
-    G = lambda f: jnp.where(has, f[safe], 0.0)
-    tex = tex._replace(conf=G(smap.conf), init_time=G(smap.init_time),
-                       last_time=G(smap.last_time), radius=G(smap.radius))
+    safe = jnp.where(has, tex.idx, 0)
+    # One stacked gather for the four re-read fields (gather cost follows
+    # the index count, not the row width).
+    g = jnp.where(has[None], jnp.stack([smap.conf, smap.init_time,
+                                        smap.last_time, smap.radius])[:, safe],
+                  0.0)
+    tex = tex._replace(conf=g[0], init_time=g[1], last_time=g[2], radius=g[3])
     smap = clean_and_insert(smap, tex, local, assoc.new, tick, config)
     return FuseResult(smap=smap, curr_pose=curr_pose)

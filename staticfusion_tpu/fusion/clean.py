@@ -142,14 +142,21 @@ def clean_and_insert(smap: SurfelMap,
     keep = (keep | (smap.valid & stale_stable)) & smap.valid
 
     # ---- insert new unstable surfels into free slots ----
+    # The association pass activates at most a quarter of the pixels (the
+    # checkerboard-in-time subsample, data.vert:115), so the free-slot list —
+    # the expensive size-`n` nonzero over the capacity mask — only needs
+    # ceil(P/4) entries.
     max_new = new.is_new.shape[0]
+    cam = config.camera
+    n_slots = min(max_new,
+                  ((cam.height + 1) // 2) * ((cam.width + 1) // 2))
     free = ~keep
-    free_slots = jnp.nonzero(free, size=max_new,
+    free_slots = jnp.nonzero(free, size=n_slots,
                              fill_value=smap.capacity)[0]
     rank = jnp.cumsum(new.is_new.astype(jnp.int32)) - 1
-    slot = jnp.where(new.is_new, free_slots[jnp.clip(rank, 0, max_new - 1)],
+    slot = jnp.where(new.is_new, free_slots[jnp.clip(rank, 0, n_slots - 1)],
                      smap.capacity)
-    ins = new.is_new & (slot < smap.capacity)
+    ins = new.is_new & (slot < smap.capacity) & (rank < n_slots)
     tgt = jnp.where(ins, slot, smap.capacity)  # out of range -> dropped
 
     def put(arr, val):

@@ -53,6 +53,41 @@ def empty_map(capacity: int) -> SurfelMap:
                      valid=jnp.zeros((capacity,), bool))
 
 
+def next_pow2(n: int) -> int:
+    return 1 << max(0, (int(n) - 1).bit_length())
+
+
+def compact_map(smap: SurfelMap, new_capacity: int) -> SurfelMap:
+    """Pack the valid surfels into the prefix of a `new_capacity`-sized map.
+
+    The TPU equivalent of the reference's count-driven processing: GL's
+    transform-feedback compaction keeps `count` (GlobalModel.cpp:562-581) so
+    every per-surfel pass scales with the *live* map, not the allocation.
+    Here all per-surfel passes scale with the array size, so the host
+    periodically repacks the map into the smallest power-of-two tier with
+    headroom (pipeline/system.py).  Surfel slot ids are frame-local — nothing
+    in SlamState references them across frames — so repacking between frames
+    is exact.  Valid surfels beyond `new_capacity` are dropped (callers pick
+    tiers with headroom, so this matches map-full behavior)."""
+    cap = smap.capacity
+    idx = jnp.nonzero(smap.valid, size=new_capacity, fill_value=cap)[0]
+    has = idx < cap
+    safe = jnp.where(has, idx, 0)
+
+    def g(a):
+        out = a[safe]
+        if a.dtype == jnp.bool_:
+            return out & has
+        if a.ndim == 2:
+            return jnp.where(has[:, None], out, 0)
+        return jnp.where(has, out, 0)
+
+    return SurfelMap(pos=g(smap.pos), conf=g(smap.conf), color=g(smap.color),
+                     hist=g(smap.hist), init_time=g(smap.init_time),
+                     last_time=g(smap.last_time), normal=g(smap.normal),
+                     radius=g(smap.radius), valid=g(smap.valid))
+
+
 class FrameCloud(NamedTuple):
     """Per-pixel oriented points in the camera frame (vertex_feedback.vert)."""
     pos: jnp.ndarray      # (H, W, 3)

@@ -94,7 +94,13 @@ def bootstrap_step(frame0: Frame, frame1: Frame, initial_pose: jnp.ndarray,
 
     raw_m, filt_m = _preprocess(frame1, config)
     pose = initial_pose @ sol.T_odometry
-    smap = surfels.initialise_map(config.fusion.capacity, raw_m, filt_m,
+    # Size the initial map at the pixel count, not the full capacity: the
+    # host grows it in power-of-two tiers as the map fills
+    # (SlamSystem._maybe_resize_map), so per-surfel pass costs track the
+    # live surfel count — the reference's `count`-driven processing.
+    cap0 = min(config.fusion.capacity,
+               surfels.next_pow2(frame1.depth_mm.size))
+    smap = surfels.initialise_map(cap0, raw_m, filt_m,
                                   frame1.rgb, static_prob, pose, config)
 
     rings = _store_ring(state.rings, 0, depth0, intens0, jnp.eye(4))

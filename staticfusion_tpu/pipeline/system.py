@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from staticfusion_tpu.config import SFConfig
+from staticfusion_tpu.fusion.surfels import compact_map, next_pow2
 from staticfusion_tpu.io import trajectory as traj_io
 from staticfusion_tpu.pipeline.step import (Frame, StepOutputs, bootstrap_step,
                                             slam_step)
@@ -28,7 +29,8 @@ class SlamSystem:
     `poses`/`times` or call `ate()` against ground truth."""
 
     def __init__(self, config: SFConfig,
-                 initial_pose: Optional[np.ndarray] = None):
+                 initial_pose: Optional[np.ndarray] = None,
+                 resize_check_interval: int = 8):
         self.config = config
         self.state = None
         self._pending = None  # buffered first frame until bootstrap
@@ -38,6 +40,28 @@ class SlamSystem:
         self.poses: List[np.ndarray] = []  # device arrays until materialized
         self._pending_metrics: List = []
         self.frame_seconds: List[float] = []
+        # Map tiering: every `resize_check_interval` frames, read the live
+        # surfel count (one device sync) and repack the map into the smallest
+        # power-of-two tier with headroom, so per-surfel passes scale with
+        # the live map — the analog of the reference's transform-feedback
+        # `count` (GlobalModel.cpp:562-581).
+        self.resize_check_interval = max(1, resize_check_interval)
+        self._frames_since_resize_check = 0
+
+    def _maybe_resize_map(self):
+        self._frames_since_resize_check += 1
+        if self._frames_since_resize_check < self.resize_check_interval:
+            return
+        self._frames_since_resize_check = 0
+        smap = self.state.smap
+        count = int(smap.count())
+        cam = self.config.camera
+        per_frame = (cam.height * cam.width + 3) // 4  # checkerboard bound
+        headroom = count // 4 + self.resize_check_interval * per_frame // 4
+        tier = min(self.config.fusion.capacity,
+                   max(4096, next_pow2(count + headroom)))
+        if tier != smap.capacity:
+            self.state = self.state._replace(smap=compact_map(smap, tier))
 
     def _to_frame(self, rgb: np.ndarray, depth_mm: np.ndarray) -> Frame:
         return Frame(rgb=jnp.asarray(rgb, jnp.float32),
@@ -57,6 +81,7 @@ class SlamSystem:
                 frame0, frame, jnp.asarray(self.initial_pose), self.config)
         else:
             self.state, out = slam_step(self.state, frame, self.config)
+        self._maybe_resize_map()
         # Keep outputs on device: host round-trips are expensive (and on the
         # axon tunnel, catastrophic); everything is fetched lazily.
         self.times.append(timestamp)

@@ -114,8 +114,14 @@ def solve_irls(sys: JacobianSystem, b_segm0: jnp.ndarray, prior: SegPrior,
     b_ext = lambda b: jnp.concatenate([b, jnp.ones((1,), b.dtype)])
     AtA0 = jnp.eye(6)
 
-    def body(_, carry):
-        (var, prev_sol, b_segm, res_c, res_d, aver_res, AtA_last, done) = carry
+    def cond(carry):
+        (i, var, prev_sol, b_segm, res_c, res_d, aver_res, AtA_last,
+         done) = carry
+        return (i < s.max_iter_irls) & ~done
+
+    def body(carry):
+        (i, var, prev_sol, b_segm, res_c, res_d, aver_res, AtA_last,
+         done) = carry
 
         inv_c = 1.0 / (s.kc_cauchy * jnp.maximum(aver_res, 1e-20))
         b_weight = sys.onehot @ jnp.clip(b_ext(b_segm), 0.0, 1.0)
@@ -139,19 +145,19 @@ def solve_irls(sys: JacobianSystem, b_segm0: jnp.ndarray, prior: SegPrior,
         new_b = solve_segm_iteration(b_segm, aver_res_label, aver_res_old,
                                      prior, reg_ata, config, kb=kb)
 
+        # Convergence break AFTER the update (FrontEnd.cpp:676-683): the
+        # converged iteration's values are kept, the loop just stops paying
+        # for the remaining iterations.
         delta = jnp.max(jnp.abs(prev_sol - new_var))
-        new_done = done | (delta < s.irls_delta_threshold)
+        new_done = delta < s.irls_delta_threshold
 
-        keep = lambda old, new: jnp.where(done, old, new)
-        return (keep(var, new_var), keep(prev_sol, new_var),
-                keep(b_segm, new_b), keep(res_c, new_res_c),
-                keep(res_d, new_res_d), keep(aver_res, new_aver_res),
-                keep(AtA_last, AtA), new_done)
+        return (i + 1, new_var, new_var, new_b, new_res_c, new_res_d,
+                new_aver_res, AtA, new_done)
 
-    init = (jnp.zeros((6,)), jnp.zeros((6,)), b_segm0, res_c0, res_d0,
-            aver_res0, AtA0, jnp.asarray(False))
-    var, _, b_segm, res_c, res_d, aver_res, AtA, _ = jax.lax.fori_loop(
-        0, s.max_iter_irls, body, init)
+    init = (jnp.int32(0), jnp.zeros((6,)), jnp.zeros((6,)), b_segm0,
+            res_c0, res_d0, aver_res0, AtA0, jnp.asarray(False))
+    _, var, _, b_segm, res_c, res_d, aver_res, AtA, _ = jax.lax.while_loop(
+        cond, body, init)
 
     res_sq = jnp.sum(res_c * res_c) + jnp.sum(res_d * res_d)
     est_cov = spd_inverse_fast(AtA, ridge=1e-12) * res_sq  # FrontEnd.cpp:689

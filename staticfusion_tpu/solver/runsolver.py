@@ -87,7 +87,7 @@ def run_solver(cur_pyr: Pyramid, pred_pyr: Pyramid, twist_old: jnp.ndarray,
         done = jnp.asarray(False)
 
         def iteration(carry, first: bool):
-            T_odo, b_segm, done, ddt = carry
+            k, T_odo, b_segm, done, ddt = carry
             if first:
                 # First coarse iteration reuses the prediction directly as the
                 # "warped" view (FrontEnd.cpp:1103-1110).
@@ -98,22 +98,18 @@ def run_solver(cur_pyr: Pyramid, pred_pyr: Pyramid, twist_old: jnp.ndarray,
             T_new, b_new, converged, ddt_new = _solve_at_level(
                 cur, warped, onehot, b_segm, reg_ata, level_idx, T_odo,
                 twist_old, config, kb=kb)
-            T_odo = jnp.where(done, T_odo, T_new)
-            b_segm = jnp.where(done, b_segm, b_new)
-            ddt = jnp.where(done, ddt, ddt_new)
-            done = done | converged
-            return (T_odo, b_segm, done, ddt)
+            # Early exit (FrontEnd.cpp:1130-1131) is a real while-loop break:
+            # the converged iteration's values are kept.
+            return (k + 1, T_new, b_new, converged, ddt_new)
 
         ddt_lvl = jnp.zeros(cur.depth.shape)
-        carry = (T_odo, b_segm, done, ddt_lvl)
-        start_k = 0
+        carry = (jnp.int32(0), T_odo, b_segm, done, ddt_lvl)
         if level_idx == 0:
             carry = iteration(carry, first=True)
-            start_k = 1
-        carry = jax.lax.fori_loop(
-            start_k, config.solver.max_iter_per_level,
-            lambda k, c: iteration(c, first=False), carry)
-        T_odo, b_segm, _, ddt_lvl = carry
+        carry = jax.lax.while_loop(
+            lambda c: (c[0] < config.solver.max_iter_per_level) & ~c[3],
+            lambda c: iteration(c, first=False), carry)
+        _, T_odo, b_segm, _, ddt_lvl = carry
         if image_level == 0:
             ddt_full = ddt_lvl
 

@@ -212,3 +212,30 @@ def test_velocity_weighting():
     T = jnp.eye(4).at[0, 3].set(0.5)  # big translation -> floor 0.5
     w2 = backend.velocity_weighting(T, jnp.eye(4), 1.0, CONFIG)
     assert abs(float(w2) - 0.5) < 1e-6
+
+
+def test_compact_map_preserves_surfels_and_render():
+    smap, d, rgb = _init_map()
+    # Kill a scattered subset so valid slots have holes.
+    kill = np.zeros((smap.capacity,), bool)
+    kill[::7] = True
+    smap = smap._replace(valid=smap.valid & ~jnp.asarray(kill))
+    count = int(smap.count())
+
+    tier = 1 << int(np.ceil(np.log2(count + 8)))
+    packed = surfels.compact_map(smap, tier)
+    assert packed.capacity == tier
+    assert int(packed.count()) == count
+    # Valid surfels occupy a dense prefix, attributes intact (order-stable).
+    assert bool(jnp.all(packed.valid[:count]))
+    assert not bool(jnp.any(packed.valid[count:]))
+    src = np.asarray(smap.pos)[np.asarray(smap.valid)]
+    dst = np.asarray(packed.pos)[:count]
+    np.testing.assert_allclose(src, dst)
+
+    # The packed map renders the same prediction.
+    tick = jnp.asarray(2, jnp.int32)
+    a = predict.combined_predict(smap, jnp.eye(4), tick, 0.0, CONFIG)
+    b = predict.combined_predict(packed, jnp.eye(4), tick, 0.0, CONFIG)
+    np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth))
+    np.testing.assert_allclose(np.asarray(a.conf), np.asarray(b.conf))
