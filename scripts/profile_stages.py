@@ -90,6 +90,16 @@ def main():
     timeit("run_solver", lambda c, p, t, s: run_solver(
         c, p, t + s, config), pyr, pyr, state.twist_old)
 
+    # Under real inter-frame motion (the while-loops run full trips).
+    rgb1 = jnp.asarray(frames[1][0])
+    filt1 = bilateral.metricise_depth_mm(
+        bilateral.bilateral_filter_mm(jnp.asarray(frames[1][1]), 4.5), 4.5)
+    int1 = (0.299 * rgb1[..., 0] + 0.587 * rgb1[..., 1]
+            + 0.114 * rgb1[..., 2])
+    pyr_prev = build_pyramid(filt1, int1, config)
+    timeit("run_solver(motion)", lambda c, p, t, s: run_solver(
+        c, p, t + s, config), pyr, pyr_prev, state.twist_old)
+
     timeit("predict_indices", lambda m, po, t, s: indexmap.predict_indices(
         m._replace(conf=m.conf + s * 0), po, t, config), smap, pose, tick)
     tex, local = indexmap.predict_indices(smap, pose, tick, config)
