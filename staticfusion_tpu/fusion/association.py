@@ -158,20 +158,21 @@ def associate(smap_capacity: int,
     is_winner_pix = matched.ravel() & (wp_at_pix == pix_ids)
     tgt = jnp.where(is_winner_pix, slot, smap_capacity)  # drop non-winners
 
-    def scat(val):
-        if val.ndim == 2:
-            return jnp.zeros((smap_capacity, val.shape[1]),
-                             val.dtype).at[tgt].set(val, mode="drop")
-        return jnp.zeros((smap_capacity,), val.dtype).at[tgt].set(
-            val, mode="drop")
+    # ONE wide row-scatter for all 11 update fields (scatter cost follows
+    # the index count, not the row width — microbench_scatter.py).
+    payload = jnp.concatenate([
+        world_pos, meas_conf[:, None], rgb.reshape(-1, 3), world_nrm,
+        filt.radius.reshape(-1, 1)], axis=1)
+    rec = jnp.zeros((smap_capacity, payload.shape[1]),
+                    payload.dtype).at[tgt].set(payload, mode="drop")
 
     updates = UpdateRecords(
         has_update=has_update,
-        pos=scat(world_pos),
-        conf=scat(meas_conf),
-        color=scat(rgb.reshape(-1, 3)),
-        normal=scat(world_nrm),
-        radius=scat(filt.radius.ravel()),
+        pos=rec[:, 0:3],
+        conf=rec[:, 3],
+        color=rec[:, 4:7],
+        normal=rec[:, 7:10],
+        radius=rec[:, 10],
     )
 
     new_conf = jnp.where(static_prob.ravel() > fus.new_static_prob_gate,

@@ -74,18 +74,16 @@ def compact_map(smap: SurfelMap, new_capacity: int) -> SurfelMap:
     has = idx < cap
     safe = jnp.where(has, idx, 0)
 
-    def g(a):
-        out = a[safe]
-        if a.dtype == jnp.bool_:
-            return out & has
-        if a.ndim == 2:
-            return jnp.where(has[:, None], out, 0)
-        return jnp.where(has, out, 0)
-
-    return SurfelMap(pos=g(smap.pos), conf=g(smap.conf), color=g(smap.color),
-                     hist=g(smap.hist), init_time=g(smap.init_time),
-                     last_time=g(smap.last_time), normal=g(smap.normal),
-                     radius=g(smap.radius), valid=g(smap.valid))
+    col = lambda a: a[:, None]
+    packed = jnp.concatenate([
+        smap.pos, col(smap.conf), smap.color, col(smap.hist),
+        col(smap.init_time), col(smap.last_time), smap.normal,
+        col(smap.radius)], axis=1)
+    out = jnp.where(has[:, None], packed[safe], 0.0)  # one wide gather
+    return SurfelMap(pos=out[:, 0:3], conf=out[:, 3], color=out[:, 4:7],
+                     hist=out[:, 7], init_time=out[:, 8],
+                     last_time=out[:, 9], normal=out[:, 10:13],
+                     radius=out[:, 13], valid=smap.valid[safe] & has)
 
 
 class FrameCloud(NamedTuple):

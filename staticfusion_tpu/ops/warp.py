@@ -113,15 +113,17 @@ def warp_forward_splat(src_depth: jnp.ndarray,
 
     z5 = jnp.tile(z_w.ravel(), 5)
     i5 = jnp.tile(src_intensity.ravel(), 5)
-    acc_d = jnp.zeros((n,), dtype).at[idx5].add(w5 * z5)
-    acc_i = jnp.zeros((n,), dtype).at[idx5].add(w5 * i5)
-    acc_w = jnp.zeros((n,), dtype).at[idx5].add(w5)
+    # One 3-wide scatter-add for (w*z, w*I, w) — row width is ~free.
+    acc = jnp.zeros((n, 3), dtype).at[idx5].add(
+        jnp.stack([w5 * z5, w5 * i5, w5], axis=1))
 
-    wacu = acc_w.reshape(rows_i, cols_i)
+    wacu = acc[:, 2].reshape(rows_i, cols_i)
     nonzero = wacu != 0.0
     safe_w = jnp.where(nonzero, wacu, 1.0)
-    depth_w = jnp.where(nonzero, acc_d.reshape(rows_i, cols_i) / safe_w, 0.0)
-    intensity_w = jnp.where(nonzero, acc_i.reshape(rows_i, cols_i) / safe_w, 0.0)
+    depth_w = jnp.where(nonzero,
+                        acc[:, 0].reshape(rows_i, cols_i) / safe_w, 0.0)
+    intensity_w = jnp.where(nonzero,
+                            acc[:, 1].reshape(rows_i, cols_i) / safe_w, 0.0)
     return depth_w, intensity_w, wacu
 
 
