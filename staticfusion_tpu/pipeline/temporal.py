@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from staticfusion_tpu.config import SFConfig, NUM_CLUSTERS
 from staticfusion_tpu.ops.pyramid import PyramidLevel, coords_for_level
+from staticfusion_tpu.ops.segments import bincount_matmul
 from staticfusion_tpu.ops.warp import warp_images_gather
 from staticfusion_tpu.pipeline.state import RingBuffers
 
@@ -69,10 +70,9 @@ def compute_temporal_residuals(rings: RingBuffers,
                   + config.solver.k_photometric_res * jnp.abs(intensity_res))
 
     counted = (depth_w != 0.0) & (depth_current != 0.0)
-    lbl = jnp.where(counted & (labels_full < k), labels_full, k).ravel()
-    sums = jnp.zeros((k + 1,)).at[lbl].add(
-        jnp.where(counted.ravel(), cumulative.ravel(), 0.0))[:k]
-    cnts = jnp.zeros((k + 1,)).at[lbl].add(
-        counted.ravel().astype(jnp.float32))[:k]
+    # Duplicate-heavy 25-bin scatter-adds serialize on TPU; the one-hot
+    # matmul reduction (MXU) is the fast path (ops/segments.py).
+    sums, cnts = bincount_matmul(labels_full.ravel(), cumulative.ravel(),
+                                 (counted & (labels_full < k)).ravel(), k)
     avg = sums / (2.0 * (cnts + 1.0))  # the reference's +1/x2 accounting
     return jnp.where(cnts > 0, avg, jnp.nan)

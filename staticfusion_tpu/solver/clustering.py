@@ -146,21 +146,18 @@ def compute_connectivity(depth: jnp.ndarray, xx: jnp.ndarray, yy: jnp.ndarray,
     conn_h = (valid0 & (l0 != lr) & (lr != NUM_CLUSTERS)
               & (((d0 - dr) ** 2 + (x0 - xr) ** 2) < thr2))
 
-    conn = jnp.zeros((NUM_CLUSTERS + 1, NUM_CLUSTERS + 1), jnp.int32)
-    safe = lambda l: jnp.clip(l, 0, NUM_CLUSTERS)
-
-    def mark(conn, la, lb, mask):
-        la, lb = safe(la).ravel(), safe(lb).ravel()
-        m = mask.ravel().astype(jnp.int32)
-        la = jnp.where(m > 0, la, NUM_CLUSTERS)
-        lb = jnp.where(m > 0, lb, NUM_CLUSTERS)
-        conn = conn.at[la, lb].max(m)
-        conn = conn.at[lb, la].max(m)
-        return conn
-
-    conn = mark(conn, l0, ld, conn_v)
-    conn = mark(conn, l0, lr, conn_h)
-    conn = conn[:NUM_CLUSTERS, :NUM_CLUSTERS] > 0
+    # Duplicate-heavy (K,K) scatter-maxes serialize on TPU; the adjacency
+    # count is a one-hot outer-product reduction — one MXU matmul.
+    k = NUM_CLUSTERS
+    la = jnp.concatenate([l0.ravel(), l0.ravel()])
+    lb = jnp.concatenate([ld.ravel(), lr.ravel()])
+    m = jnp.concatenate([conn_v.ravel(), conn_h.ravel()])
+    ks = jnp.arange(k, dtype=la.dtype)[None, :]
+    oh_a = ((la[:, None] == ks) & m[:, None]).astype(jnp.float32)
+    oh_b = (lb[:, None] == ks).astype(jnp.float32)
+    cnt = jnp.einsum("na,nb->ab", oh_a, oh_b,
+                     preferred_element_type=jnp.float32)
+    conn = (cnt + cnt.T) > 0
     return conn | jnp.eye(NUM_CLUSTERS, dtype=bool)
 
 
