@@ -151,8 +151,13 @@ def clean_and_insert(smap: SurfelMap,
     n_slots = min(max_new,
                   ((cam.height + 1) // 2) * ((cam.width + 1) // 2))
     free = ~keep
-    free_slots = jnp.nonzero(free, size=n_slots,
-                             fill_value=smap.capacity)[0]
+    # First n_slots free slot ids, ascending, capacity-filled when fewer
+    # free slots exist.  A stable argsort (bitonic, parallel) is ~20x
+    # cheaper than jnp.nonzero's cumsum+scatter lowering on TPU.
+    order = jnp.argsort(keep, stable=True)[:n_slots]
+    n_free = smap.capacity - jnp.sum(keep.astype(jnp.int32))
+    free_slots = jnp.where(jnp.arange(n_slots) < n_free, order,
+                           smap.capacity)
     rank = jnp.cumsum(new.is_new.astype(jnp.int32)) - 1
     slot = jnp.where(new.is_new, free_slots[jnp.clip(rank, 0, n_slots - 1)],
                      smap.capacity)

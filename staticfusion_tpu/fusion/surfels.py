@@ -70,9 +70,12 @@ def compact_map(smap: SurfelMap, new_capacity: int) -> SurfelMap:
     is exact.  Valid surfels beyond `new_capacity` are dropped (callers pick
     tiers with headroom, so this matches map-full behavior)."""
     cap = smap.capacity
-    idx = jnp.nonzero(smap.valid, size=new_capacity, fill_value=cap)[0]
-    has = idx < cap
-    safe = jnp.where(has, idx, 0)
+    # Valid slot ids, ascending (stable argsort ~20x cheaper than
+    # jnp.nonzero's lowering on TPU).
+    order = jnp.argsort(~smap.valid, stable=True)[:new_capacity]
+    n_valid = jnp.sum(smap.valid.astype(jnp.int32))
+    has = jnp.arange(new_capacity) < n_valid
+    safe = jnp.where(has, order, 0)
 
     col = lambda a: a[:, None]
     packed = jnp.concatenate([
