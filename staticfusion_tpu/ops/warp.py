@@ -109,13 +109,15 @@ def warp_forward_splat(src_depth: jnp.ndarray,
     w5 = jnp.concatenate([
         w.ravel() for w in (w_ur, w_ul, w_dr, w_dl, w_near)]).astype(dtype)
     w5 = w5 * jnp.tile(valid.ravel().astype(dtype), 5)
-    idx5 = jnp.where(w5 > 0, idx5, 0)
+    # Zero-weight sources route out of bounds and are dropped (an in-bounds
+    # dummy slot would serialize the duplicate group).
+    idx5 = jnp.where(w5 > 0, idx5, n)
 
     z5 = jnp.tile(z_w.ravel(), 5)
     i5 = jnp.tile(src_intensity.ravel(), 5)
     # One 3-wide scatter-add for (w*z, w*I, w) — row width is ~free.
     acc = jnp.zeros((n, 3), dtype).at[idx5].add(
-        jnp.stack([w5 * z5, w5 * i5, w5], axis=1))
+        jnp.stack([w5 * z5, w5 * i5, w5], axis=1), mode="drop")
 
     wacu = acc[:, 2].reshape(rows_i, cols_i)
     nonzero = wacu != 0.0

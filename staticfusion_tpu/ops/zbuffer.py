@@ -41,16 +41,20 @@ def zbuffer_scatter(flat_idx: jnp.ndarray, depth: jnp.ndarray,
     """
     n = flat_idx.shape[0]
     inf = jnp.asarray(jnp.inf, depth.dtype)
-    # Invalid sources are routed to a sacrificial extra slot.
+    # Invalid sources get an out-of-bounds index and are dropped by the
+    # scatter (a shared sacrificial slot would serialize the dup group).
     idx = jnp.where(valid, flat_idx, n_slots)
     d = jnp.where(valid, depth, inf)
 
-    zmin = jnp.full((n_slots + 1,), inf, depth.dtype).at[idx].min(d)
+    zmin = jnp.full((n_slots,), inf, depth.dtype).at[idx].min(d, mode="drop")
     src_ids = jnp.arange(n, dtype=jnp.int32)
-    is_winner = valid & (d <= zmin[idx])
+    # Clipped gather for invalid sources is harmless: is_winner is False
+    # there via `valid`.
+    is_winner = valid & (d <= zmin[jnp.minimum(idx, n_slots - 1)])
     cand = jnp.where(is_winner, src_ids, INVALID)
-    winner = jnp.full((n_slots + 1,), INVALID, jnp.int32).at[idx].min(cand)
-    return winner[:n_slots], zmin[:n_slots]
+    winner = jnp.full((n_slots,), INVALID, jnp.int32).at[
+        jnp.where(is_winner, idx, n_slots)].min(cand, mode="drop")
+    return winner, zmin
 
 
 def gather_payload(winner_src: jnp.ndarray, payload: jnp.ndarray,
