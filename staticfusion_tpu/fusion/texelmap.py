@@ -99,11 +99,14 @@ def project_surfels(smap: SurfelMap, pose: jnp.ndarray,
 def render_texel_images(smap: SurfelMap, local: SurfelsLocal,
                         tick: jnp.ndarray, config: SFConfig,
                         conf_threshold: float | jnp.ndarray = 0.0,
-                        z_min: float = 0.0) -> TexelImages:
+                        z_min: float = 0.0,
+                        time_delta: float | None = None) -> TexelImages:
     """Packed-key z-buffered surfel render + per-field attribute gathers.
 
     Culls as index_map.vert:48-56 (z in (z_min, maxDepth], fresh within
-    timeDelta) plus an optional confidence cull (splat.vert:50)."""
+    timeDelta) plus an optional confidence cull (splat.vert:50).
+    `time_delta` overrides the config freshness window (viz passes inf,
+    matching the GL draw passes that render the whole map)."""
     cam = config.camera
     fus = config.fusion
     F = fus.index_factor
@@ -113,8 +116,9 @@ def render_texel_images(smap: SurfelMap, local: SurfelsLocal,
     ib = id_bits_for(smap.capacity)
     dlevels = (1 << (31 - ib)) - 1
 
+    td = fus.time_delta if time_delta is None else time_delta
     z = local.pos[:, 2]
-    fresh = (jnp.asarray(tick, jnp.float32) - smap.last_time) <= fus.time_delta
+    fresh = (jnp.asarray(tick, jnp.float32) - smap.last_time) <= td
     ok = (smap.valid & fresh & (z > z_min) & (z <= fus.depth_max)
           & (smap.conf >= conf_threshold)
           & (local.u4 >= 0) & (local.u4 < cols4)

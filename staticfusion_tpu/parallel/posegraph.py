@@ -83,46 +83,102 @@ def _residuals_and_jacobians(g: PoseGraph):
     return r, Ji, Jj
 
 
+def _normal_equations(poses: jnp.ndarray, ci: jnp.ndarray, cj: jnp.ndarray,
+                      cT: jnp.ndarray, cw: jnp.ndarray):
+    """(H (M,6,M,6), b (M,6)) from a (shard of the) constraint set.
+
+    Pure function of the constraint arrays, so a device shard contributes
+    its partial sums independently — psum across shards reassembles the
+    global system (the `all-reduce the normal equations` pattern,
+    SURVEY.md section 2.5)."""
+    M = poses.shape[0]
+    g_view = PoseGraph(poses=poses, n_poses=None, ci=ci, cj=cj, cT=cT,
+                       cw=cw, n_constraints=None)
+    r, Ji, Jj = _residuals_and_jacobians(g_view)
+    H = jnp.zeros((M, 6, M, 6))
+    b = jnp.zeros((M, 6))
+
+    JiT = jnp.swapaxes(Ji, -1, -2)
+    JjT = jnp.swapaxes(Jj, -1, -2)
+    wii = cw[:, None, None]
+    Hii = wii * (JiT @ Ji)
+    Hjj = wii * (JjT @ Jj)
+    Hij = wii * (JiT @ Jj)
+    bi = (cw[:, None] * jnp.einsum("cab,cb->ca", JiT, r))
+    bj = (cw[:, None] * jnp.einsum("cab,cb->ca", JjT, r))
+
+    H = H.at[ci, :, ci, :].add(Hii)
+    H = H.at[cj, :, cj, :].add(Hjj)
+    H = H.at[ci, :, cj, :].add(Hij)
+    H = H.at[cj, :, ci, :].add(jnp.swapaxes(Hij, -1, -2))
+    b = b.at[ci].add(bi)
+    b = b.at[cj].add(bj)
+    return H, b
+
+
+def _gn_update(poses: jnp.ndarray, H: jnp.ndarray, b: jnp.ndarray,
+               damping: float) -> jnp.ndarray:
+    M = poses.shape[0]
+    Hm = H.reshape(M * 6, M * 6)
+    bm = b.reshape(M * 6)
+    # Gauge fix pose 0 + damp everything (pins untouched poses too).
+    gauge = jnp.zeros((M * 6,)).at[:6].set(1e6)
+    Hm = Hm + jnp.diag(gauge + damping + 1e-8)
+    dx = jnp.linalg.solve(Hm, -bm).reshape(M, 6)
+    return poses @ se3.se3_exp(dx)
+
+
 @partial(jax.jit, static_argnames=("iters",))
 def optimize(g: PoseGraph, iters: int = 10, damping: float = 1e-6) -> PoseGraph:
     """Gauss-Newton with gauge fix on pose 0.  Inactive constraints carry
     zero weight; inactive poses are pinned by the damping term."""
-    M = g.poses.shape[0]
 
     def gn_step(_, g):
-        r, Ji, Jj = _residuals_and_jacobians(g)
-        w = g.cw                                           # (C,)
-        # Dense normal equations via scatter-add of 6x6 blocks.
-        H = jnp.zeros((M, 6, M, 6))
-        b = jnp.zeros((M, 6))
-
-        JiT = jnp.swapaxes(Ji, -1, -2)
-        JjT = jnp.swapaxes(Jj, -1, -2)
-        wii = w[:, None, None]
-        Hii = wii * (JiT @ Ji)
-        Hjj = wii * (JjT @ Jj)
-        Hij = wii * (JiT @ Jj)
-        bi = (w[:, None] * jnp.einsum("cab,cb->ca", JiT, r))
-        bj = (w[:, None] * jnp.einsum("cab,cb->ca", JjT, r))
-
-        H = H.at[g.ci, :, g.ci, :].add(Hii)
-        H = H.at[g.cj, :, g.cj, :].add(Hjj)
-        H = H.at[g.ci, :, g.cj, :].add(Hij)
-        H = H.at[g.cj, :, g.ci, :].add(jnp.swapaxes(Hij, -1, -2))
-        b = b.at[g.ci].add(bi)
-        b = b.at[g.cj].add(bj)
-
-        Hm = H.reshape(M * 6, M * 6)
-        bm = b.reshape(M * 6)
-        # Gauge fix pose 0 + damp everything (pins untouched poses too).
-        gauge = jnp.zeros((M * 6,)).at[:6].set(1e6)
-        Hm = Hm + jnp.diag(gauge + damping + 1e-8)
-        dx = jnp.linalg.solve(Hm, -bm).reshape(M, 6)
-
-        new_poses = g.poses @ se3.se3_exp(dx)
-        return g._replace(poses=new_poses)
+        H, b = _normal_equations(g.poses, g.ci, g.cj, g.cT, g.cw)
+        return g._replace(poses=_gn_update(g.poses, H, b, damping))
 
     return jax.lax.fori_loop(0, iters, gn_step, g)
+
+
+def optimize_sharded(g: PoseGraph, mesh, axis: str = "pg",
+                     iters: int = 10, damping: float = 1e-6) -> PoseGraph:
+    """Distributed Gauss-Newton: constraints sharded over `mesh[axis]`,
+    per-shard normal-equation contributions psum-reduced over ICI, the
+    (small, dense) 6M x 6M solve replicated.
+
+    Numerically identical to `optimize` up to fp addition order
+    (tests/test_posegraph.py asserts agreement on an 8-device CPU mesh).
+    The constraint count must divide the axis size; pad with zero-weight
+    constraints (`empty_graph` slots are zero-weight already)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec_c = P(axis)
+    rep = P()
+
+    def local_hb(poses, ci, cj, cT, cw):
+        H, b = _normal_equations(poses, ci, cj, cT, cw)
+        return (jax.lax.psum(H, axis), jax.lax.psum(b, axis))
+
+    hb = shard_map(local_hb, mesh=mesh,
+                   in_specs=(rep, spec_c, spec_c, spec_c, spec_c),
+                   out_specs=(rep, rep))
+
+    @partial(jax.jit, static_argnames=())
+    def run(g):
+        def gn_step(_, g):
+            H, b = hb(g.poses, g.ci, g.cj, g.cT, g.cw)
+            return g._replace(poses=_gn_update(g.poses, H, b, damping))
+
+        return jax.lax.fori_loop(0, iters, gn_step, g)
+
+    sh_c = NamedSharding(mesh, spec_c)
+    sh_rep = NamedSharding(mesh, rep)
+    g = g._replace(
+        poses=jax.device_put(g.poses, sh_rep),
+        ci=jax.device_put(g.ci, sh_c), cj=jax.device_put(g.cj, sh_c),
+        cT=jax.device_put(g.cT, sh_c), cw=jax.device_put(g.cw, sh_c))
+    return run(g)
 
 
 def chain_odometry_graph(poses, odometry, weights=None,

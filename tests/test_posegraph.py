@@ -81,3 +81,25 @@ def test_inactive_padding_untouched(rng):
     np.testing.assert_allclose(np.asarray(g2.poses[8:]),
                                np.broadcast_to(np.eye(4), (8, 4, 4)),
                                atol=1e-5)
+
+
+def test_sharded_optimize_matches_dense(rng):
+    """optimize_sharded over an 8-device CPU mesh == single-device optimize
+    (up to fp addition order)."""
+    import jax
+    from jax.sharding import Mesh
+
+    gt, odom = _make_chain(rng, 8)
+    noisy = [gt[0]]
+    for p in gt[1:]:
+        dx = jnp.asarray(0.02 * rng.normal(size=6).astype(np.float32))
+        noisy.append(np.asarray(jnp.asarray(p) @ se3.se3_exp(dx)))
+    # Pad constraints to a multiple of 8 (zero-weight slots are inert).
+    g = pg.chain_odometry_graph(noisy, odom, max_constraints=16)
+
+    dense = pg.optimize(g, iters=8)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), axis_names=("pg",))
+    shard = pg.optimize_sharded(g, mesh, axis="pg", iters=8)
+    np.testing.assert_allclose(np.asarray(shard.poses),
+                               np.asarray(dense.poses), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(shard.poses[:8]), gt, atol=1e-3)

@@ -1,0 +1,99 @@
+"""Offline visualization: map rendering (viz/render.py) + GUI panels
+(viz/offline.py).
+
+Reference parity targets: GlobalModel::renderPointCloud /
+draw_global_surface.* color modes, IndexMap::renderDepth, and the GUI
+image panels (Utils/GUI.h:87-99, Reconstruction.cpp:734-760)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from staticfusion_tpu.config import SFConfig, CameraConfig, FusionConfig
+from staticfusion_tpu.fusion import surfels
+from staticfusion_tpu.geometry import se3
+from staticfusion_tpu.viz import offline
+from staticfusion_tpu.viz.render import MODES, render_map, render_view
+
+CONFIG = SFConfig(camera=CameraConfig(width=80, height=60),
+                  fusion=FusionConfig(capacity=1 << 13))
+
+
+def _make_map(depth=2.0):
+    rows, cols = CONFIG.rows, CONFIG.cols
+    d = np.full((rows, cols), depth, np.float32)
+    yy, xx = np.mgrid[0:rows, 0:cols].astype(np.float32)
+    rgb = np.stack([0.5 + 0.4 * np.sin(xx / 17.0),
+                    0.5 + 0.4 * np.cos(yy / 13.0),
+                    np.full_like(xx, 0.5)], axis=-1).astype(np.float32)
+    sp = np.ones_like(d)
+    smap = surfels.initialise_map(CONFIG.fusion.capacity, jnp.asarray(d),
+                                  jnp.asarray(d), jnp.asarray(rgb),
+                                  jnp.asarray(sp), jnp.eye(4), CONFIG)
+    return smap, d, rgb
+
+
+def test_render_modes_shapes_and_coverage():
+    smap, d, rgb = _make_map()
+    for mode in MODES:
+        img = render_map(smap, np.eye(4), CONFIG, mode=mode)
+        assert img.shape == (CONFIG.rows, CONFIG.cols, 3)
+        assert img.dtype == np.uint8
+        # The flat wall fills (nearly) the full frame.
+        lit = (img.sum(axis=-1) > 0).mean()
+        assert lit > 0.95, (mode, lit)
+
+
+def test_render_rgb_matches_map_colors():
+    smap, d, rgb = _make_map()
+    img = render_map(smap, np.eye(4), CONFIG, mode="rgb")
+    got = img.astype(np.float32) / 255.0
+    # Smooth texture: allow neighboring-surfel paint like the fusion tests.
+    err = np.abs(got - rgb).mean()
+    assert err < 0.05, err
+
+
+def test_render_depth_mode_darkens_with_distance():
+    near, _, _ = _make_map(depth=1.0)
+    far, _, _ = _make_map(depth=4.0)
+    g_near = render_map(near, np.eye(4), CONFIG, mode="depth").mean()
+    g_far = render_map(far, np.eye(4), CONFIG, mode="depth").mean()
+    assert g_near > g_far  # depth_norm.frag: brighter = closer
+
+
+def test_render_from_moved_viewpoint():
+    """Rendering from a translated pose shifts the visible wall."""
+    smap, d, _ = _make_map()
+    T = np.asarray(se3.se3_exp(jnp.asarray(
+        np.array([0.3, 0.0, -0.5, 0.0, 0.0, 0.0], np.float32))))
+    view = render_view(smap, jnp.asarray(T), jnp.asarray(0.0), CONFIG)
+    depth = np.asarray(view.depth)
+    hit = depth > 0
+    assert hit.mean() > 0.3
+    # Camera backed away by 0.5: depths grow accordingly.
+    np.testing.assert_allclose(depth[hit].mean(), 2.5, atol=0.05)
+
+
+def test_normal_mode_encodes_wall_normal():
+    smap, _, _ = _make_map()
+    img = render_map(smap, np.eye(4), CONFIG, mode="normal")
+    # Flat frontal wall: normal ~ (0,0,+1) in this convention
+    # -> color ~ (128,128,255).
+    center = img[CONFIG.rows // 2, CONFIG.cols // 2]
+    assert abs(int(center[0]) - 128) <= 20
+    assert abs(int(center[1]) - 128) <= 20
+    assert center[2] >= 215
+
+
+def test_offline_panels():
+    rows, cols = 30, 40
+    depth_mm = np.full((rows, cols), 2000.0, np.float32)
+    depth_mm[0, 0] = 0.0
+    prob = np.linspace(0, 1, rows * cols, dtype=np.float32).reshape(rows, cols)
+    w = offline.weight_panel(prob, depth_mm)
+    assert w.shape == (rows, cols, 3) and w.dtype == np.uint8
+    assert tuple(w[0, 0]) == (0, 0, 0)  # no depth -> black
+    labels = np.zeros((rows, cols), np.int32)
+    l_img = offline.label_panel(labels)
+    assert l_img.shape == (rows, cols, 3)
+    d_img = offline.depth_panel(depth_mm)
+    assert d_img.shape == (rows, cols, 3)
