@@ -28,11 +28,15 @@ def main(argv=None):
                     help="directory for per-frame viz panels")
     ap.add_argument("--gt", default=None, help="groundtruth.txt for ATE")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--profile", default=None,
+                    help="directory for a jax.profiler trace of the run")
     args = ap.parse_args(argv)
 
-    import numpy as np
+    import contextlib
 
-    from staticfusion_tpu.config import SFConfig
+    import jax
+
+    from staticfusion_tpu.config import CameraConfig, SFConfig
     from staticfusion_tpu.io import tum
     from staticfusion_tpu.io.ply import save_ply
     from staticfusion_tpu.pipeline.system import SlamSystem
@@ -42,24 +46,17 @@ def main(argv=None):
                           res_factor=args.res_factor,
                           depth_scale=args.depth_scale,
                           gt_file=args.gt or "groundtruth.txt")
-    config = SFConfig()
+    # Sensor-native 640x480 divided by res_factor (the reference's
+    # `res_factor` constant in each main; 2 -> QVGA, 1 -> VGA).
+    config = SFConfig(camera=CameraConfig(width=640 // args.res_factor,
+                                          height=480 // args.res_factor))
     slam = SlamSystem(config, initial_pose=seq.initial_gt_pose())
     logger = MetricsLogger(args.metrics, echo=args.metrics is None)
+    profile_ctx = (jax.profiler.trace(args.profile) if args.profile
+                   else contextlib.nullcontext())
 
-    for i, (rgb, depth_mm, ts) in enumerate(seq):
-        if args.max_frames and i >= args.max_frames:
-            break
-        out = slam.process(rgb, depth_mm, ts)
-        if out is not None:
-            logger.log(frame=i, surfels=int(out.surfel_count),
-                       dense=bool(out.dense),
-                       fps=1.0 / max(slam.frame_seconds[-1], 1e-9))
-            if args.viz:
-                from staticfusion_tpu.viz.offline import save_frame_panels
-
-                os.makedirs(args.viz, exist_ok=True)
-                save_frame_panels(os.path.join(args.viz, f"frame_{i:05d}.png"),
-                                  rgb, depth_mm, out)
+    with profile_ctx:
+        _run_frames(args, seq, slam, logger)
 
     slam.write_trajectory(args.out)
     print(f"wrote {len(slam.poses)} poses to {args.out}")
@@ -77,6 +74,23 @@ def main(argv=None):
         save_state(args.checkpoint, slam.state)
         print(f"wrote checkpoint to {args.checkpoint}")
     logger.close()
+
+
+def _run_frames(args, seq, slam, logger):
+    for i, (rgb, depth_mm, ts) in enumerate(seq):
+        if args.max_frames and i >= args.max_frames:
+            break
+        out = slam.process(rgb, depth_mm, ts)
+        if out is not None:
+            logger.log(frame=i, surfels=int(out.surfel_count),
+                       dense=bool(out.dense),
+                       fps=1.0 / max(slam.frame_seconds[-1], 1e-9))
+            if args.viz:
+                from staticfusion_tpu.viz.offline import save_frame_panels
+
+                os.makedirs(args.viz, exist_ok=True)
+                save_frame_panels(os.path.join(args.viz, f"frame_{i:05d}.png"),
+                                  rgb, depth_mm, out)
 
 
 if __name__ == "__main__":

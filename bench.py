@@ -25,9 +25,15 @@ def main():
 
     n_warmup = int(os.environ.get("SF_BENCH_WARMUP", "3"))
     n_iters = int(os.environ.get("SF_BENCH_ITERS", "20"))
-    capacity = int(os.environ.get("SF_BENCH_CAPACITY", str(1 << 18)))
+    # 2 -> QVGA (the headline config; README.md:97), 1 -> VGA.
+    rf = int(os.environ.get("SF_BENCH_RES_FACTOR", "2"))
+    capacity = int(os.environ.get("SF_BENCH_CAPACITY",
+                                  str(1 << (18 if rf >= 2 else 20))))
 
-    config = SFConfig(fusion=FusionConfig(capacity=capacity))
+    from staticfusion_tpu.config import CameraConfig
+
+    config = SFConfig(camera=CameraConfig(width=640 // rf, height=480 // rf),
+                      fusion=FusionConfig(capacity=capacity))
 
     twist = np.array([0.004, -0.002, 0.006, 0.0015, -0.001, 0.002], np.float32)
     frames, _ = synthetic.make_sequence(config, 6, twist)
@@ -83,7 +89,8 @@ def main():
 
     fps = n_iters / dt
     print(json.dumps({
-        "metric": "slam_fps_qvga_1chip",
+        "metric": "slam_fps_qvga_1chip" if rf == 2 else
+                  f"slam_fps_{640 // rf}x{480 // rf}_1chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),

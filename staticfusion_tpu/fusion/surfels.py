@@ -71,8 +71,14 @@ def compact_map(smap: SurfelMap, new_capacity: int) -> SurfelMap:
     tiers with headroom, so this matches map-full behavior)."""
     cap = smap.capacity
     # Valid slot ids, ascending (stable argsort ~20x cheaper than
-    # jnp.nonzero's lowering on TPU).
-    order = jnp.argsort(~smap.valid, stable=True)[:new_capacity]
+    # jnp.nonzero's lowering on TPU).  Growing tiers pad with dummy ids —
+    # `has` masks them off.
+    order = jnp.argsort(~smap.valid, stable=True)
+    if new_capacity <= cap:
+        order = order[:new_capacity]
+    else:
+        order = jnp.concatenate(
+            [order, jnp.zeros((new_capacity - cap,), order.dtype)])
     n_valid = jnp.sum(smap.valid.astype(jnp.int32))
     has = jnp.arange(new_capacity) < n_valid
     safe = jnp.where(has, order, 0)
@@ -178,25 +184,29 @@ def initialise_map(capacity: int,
     raw = frame_cloud(raw_depth_m, config)
     filt = frame_cloud(filtered_depth_m, config)
 
-    n_pix = raw_depth_m.size
+    # A map smaller than the frame keeps the first `capacity` pixels (the
+    # same truncation a full map applies to later insertions).
+    n_pix = min(raw_depth_m.size, capacity)
+    crop = lambda a: a[:n_pix]
     m = empty_map(capacity)
     R, t = pose[:3, :3], pose[:3, 3]
     world_pos = raw.pos.reshape(-1, 3) @ R.T + t
     world_nrm = filt.normal.reshape(-1, 3) @ R.T
 
-    valid = raw.valid.ravel()
-    conf = jnp.where(valid, quantize8(static_prob.ravel()), 0.0)
+    valid = crop(raw.valid.ravel())
+    conf = jnp.where(valid, crop(quantize8(static_prob.ravel())), 0.0)
     return SurfelMap(
-        pos=m.pos.at[:n_pix].set(jnp.where(valid[:, None], world_pos, 0.0)),
+        pos=m.pos.at[:n_pix].set(
+            jnp.where(valid[:, None], crop(world_pos), 0.0)),
         conf=m.conf.at[:n_pix].set(conf),
         color=m.color.at[:n_pix].set(
-            jnp.where(valid[:, None], rgb.reshape(-1, 3), 0.0)),
+            jnp.where(valid[:, None], crop(rgb.reshape(-1, 3)), 0.0)),
         hist=m.hist.at[:n_pix].set(valid.astype(jnp.float32)),
         init_time=m.init_time.at[:n_pix].set(valid.astype(jnp.float32)),
         last_time=m.last_time.at[:n_pix].set(valid.astype(jnp.float32)),
         normal=m.normal.at[:n_pix].set(
-            jnp.where(valid[:, None], world_nrm, 0.0)),
+            jnp.where(valid[:, None], crop(world_nrm), 0.0)),
         radius=m.radius.at[:n_pix].set(
-            jnp.where(valid, filt.radius.ravel(), 0.0)),
+            jnp.where(valid, crop(filt.radius.ravel()), 0.0)),
         valid=m.valid.at[:n_pix].set(valid),
     )

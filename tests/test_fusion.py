@@ -239,3 +239,15 @@ def test_compact_map_preserves_surfels_and_render():
     b = predict.combined_predict(packed, jnp.eye(4), tick, 0.0, CONFIG)
     np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth))
     np.testing.assert_allclose(np.asarray(a.conf), np.asarray(b.conf))
+
+
+def test_compact_map_grow_tier():
+    """Growing the tier preserves all surfels and leaves the tail invalid."""
+    smap, d, _ = _init_map()
+    count = int(smap.count())
+    big = surfels.compact_map(smap, smap.capacity * 2)
+    assert big.capacity == smap.capacity * 2
+    assert int(big.count()) == count
+    assert not bool(jnp.any(big.valid[count:]))
+    src = np.asarray(smap.pos)[np.asarray(smap.valid)]
+    np.testing.assert_allclose(np.asarray(big.pos)[:count], src)
