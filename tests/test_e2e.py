@@ -69,3 +69,38 @@ def test_trajectory_written(tmp_path, static_run):
 
     t, p = read_tum_trajectory(path)
     assert len(t) == len(slam.poses)
+
+
+def test_step_determinism():
+    """Two runs over the same frames produce bitwise-identical poses and
+    maps — the z-buffer/dedupe scatters resolve ties deterministically
+    (smallest index wins), unlike GL's submission-order rasterization."""
+    import jax.numpy as jnp
+
+    from staticfusion_tpu.pipeline.step import Frame, bootstrap_step, slam_step
+
+    frames, _ = synthetic.make_sequence(CONFIG, 4, TWIST)
+
+    def run():
+        f = [Frame(rgb=jnp.asarray(r), depth_mm=jnp.asarray(d))
+             for r, d, _ in frames]
+        state, _ = bootstrap_step(f[0], f[1], jnp.eye(4), CONFIG)
+        outs = []
+        for fr in f[2:]:
+            state, out = slam_step(state, fr, CONFIG)
+            outs.append(out)
+        return state, outs
+
+    s1, o1 = run()
+    s2, o2 = run()
+    np.testing.assert_array_equal(np.asarray(s1.curr_pose),
+                                  np.asarray(s2.curr_pose))
+    np.testing.assert_array_equal(np.asarray(s1.smap.valid),
+                                  np.asarray(s2.smap.valid))
+    np.testing.assert_array_equal(np.asarray(s1.smap.pos),
+                                  np.asarray(s2.smap.pos))
+    np.testing.assert_array_equal(np.asarray(s1.smap.conf),
+                                  np.asarray(s2.smap.conf))
+    for a, b in zip(o1, o2):
+        np.testing.assert_array_equal(np.asarray(a.static_prob),
+                                      np.asarray(b.static_prob))
