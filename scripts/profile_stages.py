@@ -100,15 +100,22 @@ def main():
     timeit("run_solver(motion)", lambda c, p, t, s: run_solver(
         c, p, t + s, config), pyr, pyr_prev, state.twist_old)
 
+    from staticfusion_tpu.pipeline.temporal import compute_temporal_residuals
+    labels0 = jnp.zeros(raw_m.shape, jnp.int32)
+    timeit("temporal_residuals", lambda r, t, s: compute_temporal_residuals(
+        r, jnp.eye(4), jnp.asarray(6, jnp.int32), filt_m + s, intensity,
+        labels0, config), state.rings, jnp.asarray(0.0))
+
     timeit("predict_indices", lambda m, po, t, s: indexmap.predict_indices(
         m._replace(conf=m.conf + s * 0), po, t, config), smap, pose, tick)
     tex, local = indexmap.predict_indices(smap, pose, tick, config)
 
     sp = jnp.ones(raw_m.shape)
+    tier = smap.pos.shape[0]  # live tier may be smaller than capacity
     timeit("associate", lambda tx, s: association.associate(
-        capacity, tx._replace(z=tx.z + s * 0), raw_m, filt_m, rgb_j, sp,
+        tier, tx._replace(z=tx.z + s * 0), raw_m, filt_m, rgb_j, sp,
         pose, tick, jnp.asarray(1.0), config), tex)
-    assoc = association.associate(capacity, tex, raw_m, filt_m, rgb_j, sp,
+    assoc = association.associate(tier, tex, raw_m, filt_m, rgb_j, sp,
                                   pose, tick, jnp.asarray(1.0), config)
 
     timeit("apply_updates", lambda m, u, s: update.apply_updates(

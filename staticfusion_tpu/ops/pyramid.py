@@ -41,13 +41,19 @@ def _conv_mask(dtype=jnp.float32) -> jnp.ndarray:
 
 
 def _blocks_4x4(img: jnp.ndarray, rows_o: int, cols_o: int) -> jnp.ndarray:
-    """(rows_o, cols_o, 4, 4) neighborhoods img[2v-1+a, 2u-1+b], zero-padded.
+    """(..., rows_o, cols_o, 4, 4) neighborhoods img[2v-1+a, 2u-1+b],
+    zero-padded.  `img` may carry leading batch dims.
 
     Phase-decomposed: one reshape/transpose splits the parent into its four
     2x2 phases; the 4x4 window offsets then become +-1 shifts of phase
     images — avoiding 16 stride-2 lane-relayout slices on TPU."""
-    # phases[p, q][v, u] = img[2v + p, 2u + q]
-    phases = img.reshape(rows_o, 2, cols_o, 2).transpose(1, 3, 0, 2)
+    batch = img.shape[:-2]
+    nb = len(batch)
+    # phases[p, q][..., v, u] = img[..., 2v + p, 2u + q]
+    phases = img.reshape(*batch, rows_o, 2, cols_o, 2)
+    phases = jnp.moveaxis(phases, (nb + 1, nb + 3), (0, 1))
+
+    pad_width = ((0, 0),) * nb + ((1, 1), (1, 1))
 
     def shifted(a, b):
         # img[2v - 1 + a, 2u - 1 + b] = phases[(a-1)%2, (b-1)%2] shifted by
@@ -57,8 +63,8 @@ def _blocks_4x4(img: jnp.ndarray, rows_o: int, cols_o: int) -> jnp.ndarray:
         ph = phases[p, q]
         if dv == 0 and du == 0:
             return ph
-        pad = jnp.pad(ph, 1)
-        return pad[1 + dv:1 + dv + rows_o, 1 + du:1 + du + cols_o]
+        pad = jnp.pad(ph, pad_width)
+        return pad[..., 1 + dv:1 + dv + rows_o, 1 + du:1 + du + cols_o]
 
     rows = []
     for a in range(4):
@@ -68,11 +74,13 @@ def _blocks_4x4(img: jnp.ndarray, rows_o: int, cols_o: int) -> jnp.ndarray:
 
 
 def downsample_level(depth_prev: jnp.ndarray, intensity_prev: jnp.ndarray):
-    """One 2x depth-aware downsample step -> (depth, intensity)."""
-    rows_o, cols_o = depth_prev.shape[0] // 2, depth_prev.shape[1] // 2
+    """One 2x depth-aware downsample step -> (depth, intensity).  Inputs may
+    carry leading batch dims (used to build the current + predicted pyramids
+    in one pass, doubling VPU lane utilization at QVGA sizes)."""
+    rows_o, cols_o = depth_prev.shape[-2] // 2, depth_prev.shape[-1] // 2
     dtype = depth_prev.dtype
 
-    d_blk = _blocks_4x4(depth_prev, rows_o, cols_o)       # (R, C, 4, 4)
+    d_blk = _blocks_4x4(depth_prev, rows_o, cols_o)       # (..., R, C, 4, 4)
     i_blk = _blocks_4x4(intensity_prev, rows_o, cols_o)
 
     # Central 2x2 of the 4x4 block = parent pixels (2v..2v+1, 2u..2u+1).
@@ -115,7 +123,7 @@ def downsample_level(depth_prev: jnp.ndarray, intensity_prev: jnp.ndarray):
 def coords_for_level(depth: jnp.ndarray, fovh: float):
     """Back-projected lateral coordinates with the solver camera
     (single focal from fovh, principal point (n-1)/2; FrontEnd.cpp:377-388)."""
-    rows_i, cols_i = depth.shape
+    rows_i, cols_i = depth.shape[-2:]
     inv_f = 2.0 * math.tan(0.5 * fovh) / float(cols_i)
     disp_u = 0.5 * (cols_i - 1)
     disp_v = 0.5 * (rows_i - 1)
@@ -138,3 +146,26 @@ def build_pyramid(depth0: jnp.ndarray, intensity0: jnp.ndarray,
         xx, yy = coords_for_level(d, fovh)
         levels.append(PyramidLevel(depth=d, intensity=i, xx=xx, yy=yy))
     return tuple(levels)
+
+
+def build_pyramid_pair(depth_a: jnp.ndarray, intensity_a: jnp.ndarray,
+                       depth_b: jnp.ndarray, intensity_b: jnp.ndarray,
+                       config: SFConfig) -> Tuple[Pyramid, Pyramid]:
+    """Two pyramids in one batched pass.
+
+    The per-frame step always builds the current-frame and predicted-frame
+    pyramids back to back (runSolver's two createImagePyramid calls,
+    FrontEnd.cpp:1079 + the prediction pyramid); at QVGA each level is far
+    below full VPU occupancy, so stacking the two images roughly halves the
+    combined wall time."""
+    d = jnp.stack([depth_a, depth_b])
+    i = jnp.stack([intensity_a, intensity_b])
+    fovh = config.camera.fovh
+    la, lb = [], []
+    for lvl in range(config.ctf_levels):
+        if lvl > 0:
+            d, i = downsample_level(d, i)
+        xx, yy = coords_for_level(d, fovh)
+        la.append(PyramidLevel(depth=d[0], intensity=i[0], xx=xx[0], yy=yy[0]))
+        lb.append(PyramidLevel(depth=d[1], intensity=i[1], xx=xx[1], yy=yy[1]))
+    return tuple(la), tuple(lb)

@@ -150,7 +150,7 @@ def optimize_sharded(g: PoseGraph, mesh, axis: str = "pg",
     (tests/test_posegraph.py asserts agreement on an 8-device CPU mesh).
     The constraint count must divide the axis size; pad with zero-weight
     constraints (`empty_graph` slots are zero-weight already)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     spec_c = P(axis)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from staticfusion_tpu.config import SFConfig
 from staticfusion_tpu.fusion import backend, predict, surfels
 from staticfusion_tpu.ops import bilateral
-from staticfusion_tpu.ops.pyramid import build_pyramid
+from staticfusion_tpu.ops.pyramid import build_pyramid_pair
 from staticfusion_tpu.pipeline.state import RingBuffers, SlamState, init_state
 from staticfusion_tpu.pipeline.temporal import compute_temporal_residuals
 from staticfusion_tpu.solver.runsolver import run_solver
@@ -83,8 +83,8 @@ def bootstrap_step(frame0: Frame, frame1: Frame, initial_pose: jnp.ndarray,
     depth1 = frame1.depth_mm / 1000.0
     intens1 = _intensity(frame1.rgb)
 
-    pred_pyr = build_pyramid(depth0, intens0, config)
-    cur_pyr = build_pyramid(depth1, intens1, config)
+    pred_pyr, cur_pyr = build_pyramid_pair(depth0, intens0,
+                                           depth1, intens1, config)
 
     sol = run_solver(cur_pyr, pred_pyr, state.twist_old, config,
                      kb=config.solver.kb_bootstrap)
@@ -145,8 +145,8 @@ def slam_step(state: SlamState, frame: Frame, config: SFConfig):
     kb = jnp.where(first_steady & ~prediction.dense,
                    config.solver.kb_bootstrap, config.solver.kb)
 
-    pred_pyr = build_pyramid(prediction.depth, prediction.intensity, config)
-    cur_pyr = build_pyramid(filt_m, intensity_cur, config)
+    pred_pyr, cur_pyr = build_pyramid_pair(
+        prediction.depth, prediction.intensity, filt_m, intensity_cur, config)
 
     sol = run_solver(cur_pyr, pred_pyr, state.twist_old, config, kb=kb)
 
