@@ -58,6 +58,23 @@ class AssociationResult(NamedTuple):
     new: NewSurfels
 
 
+class TexelUpdates(NamedTuple):
+    """Update records routed to the winning surfel's *texel* instead of its
+    slot (all (Ht, Wt) images).  Positions/normals stay in the camera frame —
+    the affine merge commutes with the rigid transform, so the blend happens
+    in local space and only the final write-back converts to world.
+
+    Collisions (two active pixels matching the same surfel) are averaged via
+    an add-combine scatter; the reference resolves them by GL raster order
+    (submission-dependent), so any deterministic choice is within spec."""
+    has: jnp.ndarray      # bool — texel received >= 1 update record
+    pos: jnp.ndarray      # (Ht, Wt, 3) local measurement position
+    conf: jnp.ndarray     # measurement confidence `a`
+    color: jnp.ndarray    # (Ht, Wt, 3)
+    normal: jnp.ndarray   # (Ht, Wt, 3) local
+    radius: jnp.ndarray
+
+
 def _neighbours_ok(depth: jnp.ndarray) -> jnp.ndarray:
     """4-neighbors nonzero (data.vert checkNeighbours), zero-padded."""
     p = jnp.pad(depth, 1)
@@ -65,21 +82,28 @@ def _neighbours_ok(depth: jnp.ndarray) -> jnp.ndarray:
             & (p[:-2, 1:-1] != 0) & (p[2:, 1:-1] != 0))
 
 
-def associate(smap_capacity: int,
-              tex: TexelImages,
-              raw_depth_m: jnp.ndarray,
-              filtered_depth_m: jnp.ndarray,
-              rgb: jnp.ndarray,
-              static_prob: jnp.ndarray,
-              pose: jnp.ndarray,
-              tick: jnp.ndarray,
-              weighting: jnp.ndarray,
-              config: SFConfig) -> AssociationResult:
+class _Search(NamedTuple):
+    active: jnp.ndarray    # (H, W) bool — checkerboard-in-time active pixels
+    best_id: jnp.ndarray   # (H, W) int32 winning surfel id, INVALID if none
+    best_dv: jnp.ndarray   # (H, W) int32 winning window offset (texel units)
+    best_du: jnp.ndarray
+    raw: object            # frame_cloud of the raw depth
+    filt: object           # frame_cloud of the filtered depth
+    meas_conf: jnp.ndarray  # (H*W,) min(probStatic, weighting, radialConf)
+
+
+def _window_search(tex: TexelImages,
+                   raw_depth_m: jnp.ndarray,
+                   filtered_depth_m: jnp.ndarray,
+                   static_prob: jnp.ndarray,
+                   tick: jnp.ndarray,
+                   weighting: jnp.ndarray,
+                   config: SFConfig) -> _Search:
+    """The data.vert association search, shared by both routing modes."""
     cam = config.camera
     fus = config.fusion
     F = fus.index_factor
     rows, cols = raw_depth_m.shape
-    n_pix = rows * cols
 
     raw = frame_cloud(raw_depth_m, config)
     filt = frame_cloud(filtered_depth_m, config)
@@ -108,6 +132,8 @@ def associate(smap_capacity: int,
 
     best_dist = jnp.full((rows, cols), 1000.0)
     best_id = jnp.full((rows, cols), INVALID, jnp.int32)
+    best_dv = jnp.zeros((rows, cols), jnp.int32)
+    best_du = jnp.zeros((rows, cols), jnp.int32)
 
     for du in window_offsets(F):         # the GLSL's x-major scan order
         for dv in window_offsets(F):
@@ -131,19 +157,124 @@ def associate(smap_capacity: int,
             better = has & depth_ok & norm_ok & (dist < best_dist)
             best_dist = jnp.where(better, dist, best_dist)
             best_id = jnp.where(better, S("idx").astype(jnp.int32), best_id)
+            best_dv = jnp.where(better, dv, best_dv)
+            best_du = jnp.where(better, du, best_du)
+
+    radial = radial_confidence(rows, cols, cam.cx, cam.cy)
+    meas_conf = jnp.minimum(static_prob,
+                            jnp.minimum(weighting, radial)).ravel()
+    return _Search(active=active, best_id=best_id, best_dv=best_dv,
+                   best_du=best_du, raw=raw, filt=filt, meas_conf=meas_conf)
+
+
+def _new_surfels(search: _Search, is_new: jnp.ndarray, rgb: jnp.ndarray,
+                 static_prob: jnp.ndarray, pose: jnp.ndarray,
+                 config: SFConfig) -> NewSurfels:
+    """New-measurement attributes (data.vert:83-106): position from raw
+    depth, normal/radius from filtered depth, new-unstable conf 0.08 iff
+    probStatic > 0.5 (data.vert:171-180)."""
+    fus = config.fusion
+    R, t = pose[:3, :3], pose[:3, 3]
+    world_pos = search.raw.pos.reshape(-1, 3) @ R.T + t
+    world_nrm = search.filt.normal.reshape(-1, 3) @ R.T
+    new_conf = jnp.where(static_prob.ravel() > fus.new_static_prob_gate,
+                         fus.new_unstable_conf, 0.0)
+    return NewSurfels(
+        is_new=is_new.ravel(),
+        pos=world_pos,
+        conf=new_conf,
+        color=rgb.reshape(-1, 3),
+        normal=world_nrm,
+        radius=search.filt.radius.ravel(),
+    )
+
+
+def associate_texels(tex: TexelImages,
+                     raw_depth_m: jnp.ndarray,
+                     filtered_depth_m: jnp.ndarray,
+                     rgb: jnp.ndarray,
+                     static_prob: jnp.ndarray,
+                     pose: jnp.ndarray,
+                     tick: jnp.ndarray,
+                     weighting: jnp.ndarray,
+                     config: SFConfig):
+    """Association with update records routed to the winner's *texel*.
+
+    One add-combine scatter (12-wide: 11 payload fields + a count) replaces
+    the slot-space path's dedupe min-scatter + winner gather + set-scatter —
+    colliding pixels average instead of 'smallest pixel wins'.  Returns
+    (TexelUpdates, NewSurfels)."""
+    fus = config.fusion
+    F = fus.index_factor
+    rows, cols = raw_depth_m.shape
+    rows4, cols4 = rows * F, cols * F
+    S_tex = rows4 * cols4
+
+    s = _window_search(tex, raw_depth_m, filtered_depth_m, static_prob,
+                       tick, weighting, config)
+    matched = s.active & (s.best_id != INVALID)
+    is_new = s.active & (s.best_id == INVALID)
+
+    uu = jnp.arange(cols, dtype=jnp.int32)[None, :]
+    vv = jnp.arange(rows, dtype=jnp.int32)[:, None]
+    ty = F * vv + s.best_dv
+    tx = F * uu + s.best_du
+    tflat = jnp.where(matched, ty * cols4 + tx, S_tex).ravel()
+
+    ones = jnp.ones((rows * cols, 1))
+    payload = jnp.concatenate([
+        s.raw.pos.reshape(-1, 3), s.meas_conf[:, None], rgb.reshape(-1, 3),
+        s.filt.normal.reshape(-1, 3), s.filt.radius.reshape(-1, 1), ones,
+    ], axis=1)
+    rec = jnp.zeros((S_tex, payload.shape[1]),
+                    payload.dtype).at[tflat].add(payload, mode="drop")
+
+    cnt = rec[:, 11]
+    has = cnt > 0.0
+    inv = jnp.where(has, 1.0 / jnp.where(has, cnt, 1.0), 0.0)
+    avg = rec[:, :11] * inv[:, None]
+
+    def img(i):
+        return avg[:, i].reshape(rows4, cols4)
+
+    def img3(i):
+        return avg[:, i:i + 3].reshape(rows4, cols4, 3)
+
+    upd = TexelUpdates(
+        has=has.reshape(rows4, cols4),
+        pos=img3(0), conf=img(3), color=img3(4), normal=img3(7),
+        radius=img(10),
+    )
+    return upd, _new_surfels(s, is_new, rgb, static_prob, pose, config)
+
+
+def associate(smap_capacity: int,
+              tex: TexelImages,
+              raw_depth_m: jnp.ndarray,
+              filtered_depth_m: jnp.ndarray,
+              rgb: jnp.ndarray,
+              static_prob: jnp.ndarray,
+              pose: jnp.ndarray,
+              tick: jnp.ndarray,
+              weighting: jnp.ndarray,
+              config: SFConfig) -> AssociationResult:
+    """Slot-routed association (the reference-exact 'smallest pixel wins'
+    dedupe).  The production pipeline uses `associate_texels`; this path is
+    kept for component tests and reference-parity checks."""
+    rows, cols = raw_depth_m.shape
+    n_pix = rows * cols
+
+    s = _window_search(tex, raw_depth_m, filtered_depth_m, static_prob,
+                       tick, weighting, config)
+    active, best_id = s.active, s.best_id
+    raw, filt, meas_conf = s.raw, s.filt, s.meas_conf
 
     matched = active & (best_id != INVALID)
     is_new = active & (best_id == INVALID)
 
-    # New-measurement attributes (data.vert:83-106): position from raw depth,
-    # normal/radius from filtered depth, conf = min(probStatic, weighting,
-    # radialConf).
     R, t = pose[:3, :3], pose[:3, 3]
     world_pos = raw.pos.reshape(-1, 3) @ R.T + t
     world_nrm = filt.normal.reshape(-1, 3) @ R.T
-    radial = radial_confidence(rows, cols, cam.cx, cam.cy)
-    meas_conf = jnp.minimum(static_prob,
-                            jnp.minimum(weighting, radial)).ravel()
 
     # Deduplicate surfel collisions: smallest pixel index wins — one
     # min-scatter of pixel ids into the slot grid.  Update records are then
@@ -179,14 +310,5 @@ def associate(smap_capacity: int,
         radius=rec[:, 10],
     )
 
-    new_conf = jnp.where(static_prob.ravel() > fus.new_static_prob_gate,
-                         fus.new_unstable_conf, 0.0)
-    new = NewSurfels(
-        is_new=is_new.ravel(),
-        pos=world_pos,
-        conf=new_conf,
-        color=rgb.reshape(-1, 3),
-        normal=world_nrm,
-        radius=filt.radius.ravel(),
-    )
+    new = _new_surfels(s, is_new, rgb, static_prob, pose, config)
     return AssociationResult(updates=updates, new=new)

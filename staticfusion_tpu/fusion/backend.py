@@ -15,11 +15,13 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from staticfusion_tpu.config import SFConfig
-from staticfusion_tpu.fusion.association import associate
-from staticfusion_tpu.fusion.clean import clean_and_insert
+from staticfusion_tpu.fusion import predict
+from staticfusion_tpu.fusion.association import associate, associate_texels
+from staticfusion_tpu.fusion.clean import (clean_and_insert, window_kill_tex,
+                                           writeback_and_insert)
 from staticfusion_tpu.fusion.indexmap import predict_indices
 from staticfusion_tpu.fusion.surfels import SurfelMap
-from staticfusion_tpu.fusion.update import apply_updates
+from staticfusion_tpu.fusion.update import apply_updates, merge_texels
 from staticfusion_tpu.geometry.se3 import se3_inverse, so3_log
 
 
@@ -41,6 +43,11 @@ def velocity_weighting(curr_pose: jnp.ndarray, last_pose: jnp.ndarray,
 class FuseResult(NamedTuple):
     smap: SurfelMap
     curr_pose: jnp.ndarray
+    # Next frame's LOW-confidence predicted view, splatted from the merged
+    # texel images (the reference re-renders the map at the start of the
+    # next frame — same pose, post-clean attributes — so deriving it here
+    # saves a full render: one scatter + one stacked gather per frame).
+    pred: object = None
 
 
 def fuse_frame(smap: SurfelMap,
@@ -53,10 +60,52 @@ def fuse_frame(smap: SurfelMap,
                tick: jnp.ndarray,
                config: SFConfig,
                weight_multiplier: float = 1.0) -> FuseResult:
-    """One steady-state map update (Reconstruction.cpp:261-313).
+    """One steady-state map update (Reconstruction.cpp:261-313), texel-space
+    path: render -> texel-routed association -> elementwise merge + window
+    kill in texel space -> ONE combined write-back/insert scatter -> splat
+    the merged texels into next frame's prediction.
 
     `tick` is the reconstruction frame counter (>= 2 here; tick 1 is
     `initialise_map`)."""
+    fus = config.fusion
+    last_pose = curr_pose
+    curr_pose = curr_pose @ T_odometry
+    weighting = velocity_weighting(curr_pose, last_pose, weight_multiplier,
+                                   config)
+
+    tex, local = predict_indices(smap, curr_pose, tick, config)
+    upd, new = associate_texels(tex, raw_depth_m, filtered_depth_m, rgb,
+                                static_prob, curr_pose, tick, weighting,
+                                config)
+    merged = merge_texels(tex, upd, tick, config)
+    # The clean window test runs on *post-update* attributes, matching the
+    # reference's re-render before clean (Reconstruction.cpp:300).
+    kill_tex = window_kill_tex(merged, tick, config)
+    smap = writeback_and_insert(smap, merged, upd.has, kill_tex, local, new,
+                                curr_pose, tick, config)
+
+    # Next frame predicts at exactly this pose; splat the surviving merged
+    # texels with the LOW-confidence cull (new unstable surfels sit below
+    # low_conf, so their absence from the texels matches the reference cull).
+    pred_has = (merged.has & ~kill_tex & (merged.conf >= fus.low_conf)
+                & (merged.z > fus.predict_z_min))
+    pred = predict.splat_from_texels(merged._replace(has=pred_has), config)
+    return FuseResult(smap=smap, curr_pose=curr_pose, pred=pred)
+
+
+def fuse_frame_slots(smap: SurfelMap,
+                     curr_pose: jnp.ndarray,
+                     T_odometry: jnp.ndarray,
+                     raw_depth_m: jnp.ndarray,
+                     filtered_depth_m: jnp.ndarray,
+                     rgb: jnp.ndarray,
+                     static_prob: jnp.ndarray,
+                     tick: jnp.ndarray,
+                     config: SFConfig,
+                     weight_multiplier: float = 1.0) -> FuseResult:
+    """Slot-routed fusion (the original pipeline): reference-exact
+    'smallest pixel wins' dedupe and slot-space merge.  Kept as the
+    parity/equivalence oracle for the texel path."""
     last_pose = curr_pose
     curr_pose = curr_pose @ T_odometry
     weighting = velocity_weighting(curr_pose, last_pose, weight_multiplier,

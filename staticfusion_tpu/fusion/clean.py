@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from staticfusion_tpu.config import SFConfig
 from staticfusion_tpu.fusion.association import NewSurfels
 from staticfusion_tpu.fusion.surfels import SurfelMap
-from staticfusion_tpu.fusion.texelmap import SurfelsLocal, TexelImages
+from staticfusion_tpu.fusion.texelmap import (SurfelsLocal, TexelImages,
+                                              render_cull)
 
 
 def _axis_weight(off: int, frac: jnp.ndarray, F: int) -> jnp.ndarray:
@@ -48,9 +49,11 @@ def _axis_weight(off: int, frac: jnp.ndarray, F: int) -> jnp.ndarray:
     return jnp.maximum(hi - lo, 0.0)
 
 
-def window_kill_mask(tex: TexelImages, local: SurfelsLocal,
-                     tick: jnp.ndarray, config: SFConfig) -> jnp.ndarray:
-    """(capacity,) bool — surfels killed by the copy_unstable window test."""
+def window_kill_tex(tex: TexelImages, tick: jnp.ndarray,
+                    config: SFConfig) -> jnp.ndarray:
+    """(Ht, Wt) bool — texels whose winner the copy_unstable window test
+    kills.  Pure stencil arithmetic over the texel attribute images; the
+    caller folds the verdict into the surfel write-back."""
     fus = config.fusion
     tickf = jnp.asarray(tick, jnp.float32)
     F = fus.index_factor
@@ -110,9 +113,15 @@ def window_kill_mask(tex: TexelImages, local: SurfelsLocal,
     # — 4^2 at the reference's F=4.  Scale so a threshold always means the
     # same number of qualifying neighbor surfels regardless of F.
     mult = (4.0 / F) ** 2
-    kill_tex = self_has & ((count > fus.clean_redundant_count * mult)
-                           | (zcount > fus.clean_free_space_count * mult))
-    # Scatter the per-texel verdict back to surfel slots.
+    return self_has & ((count > fus.clean_redundant_count * mult)
+                       | (zcount > fus.clean_free_space_count * mult))
+
+
+def window_kill_mask(tex: TexelImages, local: SurfelsLocal,
+                     tick: jnp.ndarray, config: SFConfig) -> jnp.ndarray:
+    """(capacity,) bool — slot-space window-kill verdict (the compat path;
+    the production pipeline keeps the verdict in texel space)."""
+    kill_tex = window_kill_tex(tex, tick, config)
     capacity = local.pos.shape[0]
     # Non-killing texels route out of bounds and are dropped (a shared
     # in-bounds sentinel slot would serialize the duplicate group).
@@ -182,6 +191,99 @@ def clean_and_insert(smap: SurfelMap,
         tick_col, tick_col, new.normal, col(new.radius),
         col(ins.astype(jnp.float32))], axis=1)
     out = base.at[tgt].set(payload, mode="drop")
+
+    return SurfelMap(
+        pos=out[:, 0:3], conf=out[:, 3], color=out[:, 4:7],
+        hist=out[:, 7], init_time=out[:, 8], last_time=out[:, 9],
+        normal=out[:, 10:13], radius=out[:, 13],
+        valid=out[:, 14] > 0.5,
+    )
+
+
+def writeback_and_insert(smap: SurfelMap,
+                         merged: TexelImages,
+                         upd_has: jnp.ndarray,
+                         kill_tex: jnp.ndarray,
+                         local: SurfelsLocal,
+                         new: NewSurfels,
+                         pose: jnp.ndarray,
+                         tick: jnp.ndarray,
+                         config: SFConfig) -> SurfelMap:
+    """Fold the update-merge, the clean verdicts, and the new-surfel insert
+    into ONE wide scatter (TPU scatter cost is per-op, nearly independent of
+    index count and row width — scripts/microbench_scatter.py).
+
+    Three disjoint write classes:
+    * elementwise: age/zero-conf kills on every slot (copy_unstable.vert:118-122)
+      with the stale-stable retention quirk;
+    * texel write-back: texels whose winner was updated (merged attributes,
+      update.vert) or window-killed (valid=0) scatter to `merged.idx`;
+    * insert: new unstable surfels scatter into free slots.
+
+    Disjointness proof: write-back targets are z-buffer winners, a subset of
+    `render_cull(...)`; free slots exclude `render_cull(...)` entirely (such
+    slots are freed one frame later — the reference frees them the same
+    frame, but its clean runs after a re-render, which we fold away)."""
+    fus = config.fusion
+    cam = config.camera
+    tickf = jnp.asarray(tick, jnp.float32)
+
+    # ---- elementwise lifecycle on the old slot arrays ----
+    too_old_unstable = ((tickf - smap.last_time) > fus.clean_unstable_age) & \
+                       (smap.conf < fus.clean_unstable_conf)
+    keep_elem = smap.valid & ~(too_old_unstable | (smap.conf == 0.0))
+    stale_stable = (smap.last_time > 0) & \
+                   ((tickf - smap.last_time) > fus.time_delta)
+    keep_elem = (keep_elem | (smap.valid & stale_stable)) & smap.valid
+
+    # ---- free-slot allocation (excludes every rendered slot) ----
+    rendered = render_cull(smap, local, tick, config)
+    not_free = keep_elem | rendered
+    max_new = new.is_new.shape[0]
+    n_slots = min(max_new,
+                  ((cam.height + 1) // 2) * ((cam.width + 1) // 2))
+    order = jnp.argsort(not_free, stable=True)[:n_slots]
+    n_free = smap.capacity - jnp.sum(not_free.astype(jnp.int32))
+    free_slots = jnp.where(jnp.arange(n_slots) < n_free, order,
+                           smap.capacity)
+    rank = jnp.cumsum(new.is_new.astype(jnp.int32)) - 1
+    slot = jnp.where(new.is_new, free_slots[jnp.clip(rank, 0, n_slots - 1)],
+                     smap.capacity)
+    ins = new.is_new & (slot < smap.capacity) & (rank < n_slots)
+    tgt_ins = jnp.where(ins, slot, smap.capacity)
+
+    # ---- texel write-back rows (camera-local -> world once) ----
+    wb = merged.has & (upd_has | kill_tex)
+    tgt_tex = jnp.where(wb, merged.idx, smap.capacity).ravel()
+    R, t = pose[:3, :3], pose[:3, 3]
+    lpos = jnp.stack([merged.x, merged.y, merged.z], -1).reshape(-1, 3)
+    lnrm = jnp.stack([merged.nx, merged.ny, merged.nz], -1).reshape(-1, 3)
+    wpos = lpos @ R.T + t
+    wnrm = lnrm @ R.T
+    flat = lambda a: a.ravel()[:, None]
+    payload_tex = jnp.concatenate([
+        wpos, flat(merged.conf),
+        flat(merged.r), flat(merged.g), flat(merged.b),
+        flat(merged.hist), flat(merged.init_time), flat(merged.last_time),
+        wnrm, flat(merged.radius),
+        flat((~kill_tex).astype(jnp.float32))], axis=1)
+
+    # ---- insert rows ----
+    col = lambda a: a[:, None]
+    tick_col = jnp.full((max_new, 1), tickf)
+    payload_ins = jnp.concatenate([
+        new.pos, col(new.conf), new.color, jnp.ones((max_new, 1)),
+        tick_col, tick_col, new.normal, col(new.radius),
+        col(ins.astype(jnp.float32))], axis=1)
+
+    base = jnp.concatenate([
+        smap.pos, col(smap.conf), smap.color, col(smap.hist),
+        col(smap.init_time), col(smap.last_time), smap.normal,
+        col(smap.radius), col(keep_elem.astype(jnp.float32))], axis=1)
+
+    all_tgt = jnp.concatenate([tgt_tex, tgt_ins])
+    all_payload = jnp.concatenate([payload_tex, payload_ins])
+    out = base.at[all_tgt].set(all_payload, mode="drop")
 
     return SurfelMap(
         pos=out[:, 0:3], conf=out[:, 3], color=out[:, 4:7],

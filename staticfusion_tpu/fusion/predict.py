@@ -131,27 +131,22 @@ def _luma(rgb_q: jnp.ndarray) -> jnp.ndarray:
             + 0.114 * rgb_q[..., 2])
 
 
-def get_predicted_images(smap: SurfelMap, pose: jnp.ndarray, tick: jnp.ndarray,
+def composite_prediction(low: PredictedView,
                          filtered_depth_m: jnp.ndarray, rgb: jnp.ndarray,
                          static_prob: jnp.ndarray,
                          config: SFConfig) -> Prediction:
-    """Reconstruction::getPredictedImages (Reconstruction.cpp:628-720):
-    LOW/HIGH predictions, density check, FillIn compositing, depth
-    extraction.  RGB is quantized through the u8 texture download before the
-    luma, replicating the reference's CPU handoff.
+    """The FillIn / density-check / depth-extraction tail of
+    Reconstruction::getPredictedImages, over an already-splatted LOW view
+    (elementwise only — the production pipeline carries the splat from the
+    previous fuse, see backend.fuse_frame).
 
-    Both confidence classes share ONE render and ONE splat pass: the HIGH
-    view is the LOW view masked to pixels whose winning splat already meets
-    the high threshold.  (The reference renders twice, so where a low-conf
-    surfel occludes a high-conf one its HIGH view shows the one behind; here
-    that pixel falls through to the LOW/raw composite instead — the same
-    front surface wins either way in the fused image.)"""
+    Both confidence classes share the ONE splat: the HIGH view is the LOW
+    view masked to pixels whose winning splat already meets the high
+    threshold.  (The reference renders twice, so where a low-conf surfel
+    occludes a high-conf one its HIGH view shows the one behind; here that
+    pixel falls through to the LOW/raw composite instead — the same front
+    surface wins either way in the fused image.)"""
     fus = config.fusion
-    local = project_surfels(smap, pose, config)
-    tex_low = render_texel_images(smap, local, tick, config,
-                                  conf_threshold=fus.low_conf,
-                                  z_min=fus.predict_z_min)
-    low = splat_from_texels(tex_low, config)
     hi_m = low.conf >= fus.confidence_threshold
     hi3 = hi_m[..., None]
     high = PredictedView(
@@ -195,3 +190,29 @@ def get_predicted_images(smap: SurfelMap, pose: jnp.ndarray, tick: jnp.ndarray,
     rgb_q = jnp.round(jnp.clip(image, 0.0, 1.0) * 255.0) / 255.0
     return Prediction(depth=depth, intensity=_luma(rgb_q), image=image,
                       dense=dense)
+
+
+def get_predicted_images(smap: SurfelMap, pose: jnp.ndarray, tick: jnp.ndarray,
+                         filtered_depth_m: jnp.ndarray, rgb: jnp.ndarray,
+                         static_prob: jnp.ndarray,
+                         config: SFConfig) -> Prediction:
+    """Reconstruction::getPredictedImages (Reconstruction.cpp:628-720) from
+    the map: render + splat + composite.  RGB is quantized through the u8
+    texture download before the luma, replicating the reference's CPU
+    handoff.  The steady-state pipeline instead composites the splat carried
+    over from the previous fuse (backend.fuse_frame)."""
+    low = predict_low_view(smap, pose, tick, config)
+    return composite_prediction(low, filtered_depth_m, rgb, static_prob,
+                                config)
+
+
+def predict_low_view(smap: SurfelMap, pose: jnp.ndarray, tick: jnp.ndarray,
+                     config: SFConfig) -> PredictedView:
+    """Render + splat the LOW-confidence predicted view (used at bootstrap,
+    where no fuse-carried splat exists yet)."""
+    fus = config.fusion
+    local = project_surfels(smap, pose, config)
+    tex_low = render_texel_images(smap, local, tick, config,
+                                  conf_threshold=fus.low_conf,
+                                  z_min=fus.predict_z_min)
+    return splat_from_texels(tex_low, config)

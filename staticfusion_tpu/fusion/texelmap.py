@@ -66,6 +66,7 @@ class TexelImages(NamedTuple):
     r: jnp.ndarray       # color
     g: jnp.ndarray
     b: jnp.ndarray
+    hist: jnp.ndarray    # update-count history (update.vert's vPosition0.w)
 
 
 class SurfelsLocal(NamedTuple):
@@ -96,6 +97,27 @@ def project_surfels(smap: SurfelMap, pose: jnp.ndarray,
                         x4c=x4c, y4c=y4c)
 
 
+def render_cull(smap: SurfelMap, local: SurfelsLocal, tick: jnp.ndarray,
+                config: SFConfig,
+                conf_threshold: float | jnp.ndarray = 0.0,
+                z_min: float = 0.0,
+                time_delta: float | None = None) -> jnp.ndarray:
+    """(capacity,) bool — surfels that enter the z-buffer render
+    (index_map.vert:48-56 culls).  Shared with the clean pass's free-slot
+    allocator, which must never hand out a slot the render may write back."""
+    cam = config.camera
+    fus = config.fusion
+    F = fus.index_factor
+    rows4, cols4 = cam.height * F, cam.width * F
+    td = fus.time_delta if time_delta is None else time_delta
+    z = local.pos[:, 2]
+    fresh = (jnp.asarray(tick, jnp.float32) - smap.last_time) <= td
+    return (smap.valid & fresh & (z > z_min) & (z <= fus.depth_max)
+            & (smap.conf >= conf_threshold)
+            & (local.u4 >= 0) & (local.u4 < cols4)
+            & (local.v4 >= 0) & (local.v4 < rows4))
+
+
 def render_texel_images(smap: SurfelMap, local: SurfelsLocal,
                         tick: jnp.ndarray, config: SFConfig,
                         conf_threshold: float | jnp.ndarray = 0.0,
@@ -116,13 +138,9 @@ def render_texel_images(smap: SurfelMap, local: SurfelsLocal,
     ib = id_bits_for(smap.capacity)
     dlevels = (1 << (31 - ib)) - 1
 
-    td = fus.time_delta if time_delta is None else time_delta
     z = local.pos[:, 2]
-    fresh = (jnp.asarray(tick, jnp.float32) - smap.last_time) <= td
-    ok = (smap.valid & fresh & (z > z_min) & (z <= fus.depth_max)
-          & (smap.conf >= conf_threshold)
-          & (local.u4 >= 0) & (local.u4 < cols4)
-          & (local.v4 >= 0) & (local.v4 < rows4))
+    ok = render_cull(smap, local, tick, config, conf_threshold, z_min,
+                     time_delta)
 
     qd = jnp.clip((z * (dlevels / fus.depth_max)).astype(jnp.int32),
                   0, dlevels)
@@ -139,13 +157,14 @@ def render_texel_images(smap: SurfelMap, local: SurfelsLocal,
     winner = jnp.where(has, fb & ((1 << ib) - 1), INT_MAX)
     safe = jnp.where(has, winner, 0)
 
-    # One (13, capacity) gather instead of 13: TPU gather cost scales with
-    # the index count, not the gathered row width.
+    # One (14, capacity) gather instead of 14: TPU gather cost is dominated
+    # by a fixed per-op overhead plus the index count, not the row width.
     stacked = jnp.stack([
         local.pos[:, 0], local.pos[:, 1], local.pos[:, 2],
         local.normal[:, 0], local.normal[:, 1], local.normal[:, 2],
         smap.radius, smap.conf, smap.init_time, smap.last_time,
         smap.color[:, 0], smap.color[:, 1], smap.color[:, 2],
+        smap.hist,
     ])
     g = jnp.where(has[None, :], stacked[:, safe], 0.0)
 
@@ -160,6 +179,7 @@ def render_texel_images(smap: SurfelMap, local: SurfelsLocal,
         radius=I(6), conf=I(7),
         init_time=I(8), last_time=I(9),
         r=I(10), g=I(11), b=I(12),
+        hist=I(13),
     )
 
 

@@ -23,6 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from staticfusion_tpu.config import SFConfig
+from staticfusion_tpu.fusion.predict import PredictedView
 from staticfusion_tpu.fusion.surfels import SurfelMap
 from staticfusion_tpu.pipeline.state import RingBuffers, SlamState
 
@@ -57,6 +58,9 @@ def state_shardings(mesh: Mesh) -> SlamState:
         rings=RingBuffers(depth=ring, intensity=ring, odom=rep),
         prev_rgb=rows3, prev_filt_depth=rows2, prev_static_prob=rows2,
         per_cluster_residual=rep,
+        pred=PredictedView(image=rows3, vertex=rows3, conf=rows2,
+                           normal=rows3, radius=rows2, time=rows2,
+                           depth=rows2),
     )
 
 

@@ -12,6 +12,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from staticfusion_tpu.config import SFConfig
+from staticfusion_tpu.fusion.predict import PredictedView
 from staticfusion_tpu.fusion.surfels import SurfelMap, empty_map
 
 
@@ -35,6 +36,10 @@ class SlamState(NamedTuple):
     prev_filt_depth: jnp.ndarray    # (H, W) metric filtered
     prev_static_prob: jnp.ndarray   # (H, W)
     per_cluster_residual: jnp.ndarray  # (K,) 5-frame residuals, NaN = unset
+    # LOW-confidence predicted view for the *next* frame, splatted from the
+    # merged texel images at the end of the last fuse (the reference
+    # re-renders the map at the same pose at the start of each frame).
+    pred: PredictedView
 
 
 def init_state(config: SFConfig) -> SlamState:
@@ -56,4 +61,12 @@ def init_state(config: SFConfig) -> SlamState:
         prev_static_prob=jnp.zeros((rows, cols)),
         per_cluster_residual=jnp.full((config.num_clusters,), jnp.nan,
                                       dtype=jnp.float32),
+        pred=empty_view(rows, cols),
     )
+
+
+def empty_view(rows: int, cols: int) -> PredictedView:
+    z2 = jnp.zeros((rows, cols))
+    z3 = jnp.zeros((rows, cols, 3))
+    return PredictedView(image=z3, vertex=z3, conf=z2, normal=z3,
+                         radius=z2, time=z2, depth=z2)

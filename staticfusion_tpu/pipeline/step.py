@@ -106,9 +106,14 @@ def bootstrap_step(frame0: Frame, frame1: Frame, initial_pose: jnp.ndarray,
     rings = _store_ring(state.rings, 0, depth0, intens0, jnp.eye(4))
     rings = _store_ring(rings, 1, depth1, intens1, sol.T_odometry)
 
+    # Seed the carried prediction (steady state gets it from fuse_frame).
+    pred_low = predict.predict_low_view(smap, pose, jnp.asarray(2, jnp.int32),
+                                        config)
+
     state = state._replace(
         smap=smap,
         curr_pose=pose,
+        pred=pred_low,
         tick=jnp.asarray(2, jnp.int32),
         im_count=jnp.asarray(1, jnp.int32),
         twist_old=sol.twist_old_next,
@@ -133,11 +138,13 @@ def slam_step(state: SlamState, frame: Frame, config: SFConfig):
     intensity_cur = _intensity(frame.rgb)
     im_count = state.im_count + 1
 
-    # Predict the model view (uses the *previous* frame's uploads for the
-    # FillIn raw fallback, as the GL textures would).
-    prediction = predict.get_predicted_images(
-        state.smap, state.curr_pose, state.tick, state.prev_filt_depth,
-        state.prev_rgb, state.prev_static_prob, config)
+    # Composite the model view carried over from the last fuse (uses the
+    # *previous* frame's uploads for the FillIn raw fallback, as the GL
+    # textures would).  The splat itself happened inside fuse_frame at this
+    # exact pose — no render needed here.
+    prediction = predict.composite_prediction(
+        state.pred, state.prev_filt_depth, state.prev_rgb,
+        state.prev_static_prob, config)
 
     # kb warm-up: the first steady frame after bootstrap uses the lenient kb
     # iff the model is not yet dense (StaticFusion-datasets.cpp:156-165).
@@ -171,6 +178,7 @@ def slam_step(state: SlamState, frame: Frame, config: SFConfig):
     new_state = state._replace(
         smap=fused.smap,
         curr_pose=fused.curr_pose,
+        pred=fused.pred,
         tick=state.tick + 1,
         im_count=im_count,
         twist_old=sol.twist_old_next,

@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from staticfusion_tpu.fusion.predict import PredictedView
 from staticfusion_tpu.fusion.surfels import SurfelMap
 from staticfusion_tpu.pipeline.state import RingBuffers, SlamState
 
@@ -31,6 +32,7 @@ def load_state(path: str) -> SlamState:
     template = SlamState(
         smap=SurfelMap(*[0] * 9), curr_pose=0, tick=0, im_count=0,
         twist_old=0, rings=RingBuffers(0, 0, 0), prev_rgb=0,
-        prev_filt_depth=0, prev_static_prob=0, per_cluster_residual=0)
+        prev_filt_depth=0, prev_static_prob=0, per_cluster_residual=0,
+        pred=PredictedView(*[0] * 7))
     treedef = jax.tree_util.tree_structure(template)
     return jax.tree_util.tree_unflatten(treedef, leaves)

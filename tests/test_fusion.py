@@ -204,6 +204,64 @@ def test_fuse_frame_full_cycle_stable():
         jnp.mean(smap.conf[matched]))
 
 
+def test_fuse_frame_texel_matches_slot_path():
+    """The production texel-routed fuse and the reference-exact slot path
+    agree on a static refusion: same survivors, same confidences, positions
+    within float tolerance (the texel path averages pixel collisions where
+    the slot path picks the smallest pixel — identical here because the
+    scene gives each surfel at most one matching active pixel)."""
+    smap, d, rgb = _init_map(prob=0.6)
+    args = (jnp.eye(4), jnp.eye(4), jnp.asarray(d), jnp.asarray(d),
+            jnp.asarray(rgb), jnp.ones(d.shape), jnp.asarray(2, jnp.int32),
+            CONFIG)
+    a = backend.fuse_frame(smap, *args)
+    b = backend.fuse_frame_slots(smap, *args)
+    va, vb = np.asarray(a.smap.valid), np.asarray(b.smap.valid)
+    # Free-slot timing differs by design (texel path frees render-culled
+    # slots one frame later) but the live sets must match.
+    np.testing.assert_array_equal(va, vb)
+    np.testing.assert_allclose(np.asarray(a.smap.conf)[va],
+                               np.asarray(b.smap.conf)[vb], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.smap.pos)[va],
+                               np.asarray(b.smap.pos)[vb], atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(a.smap.last_time)[va],
+                                  np.asarray(b.smap.last_time)[vb])
+    # The carried prediction reproduces the scene depth.
+    depth = np.asarray(a.pred.depth)
+    inner = depth[4:-4, 4:-4]
+    assert (inner > 0).mean() > 0.9
+    np.testing.assert_allclose(inner[inner > 0], 2.0, atol=0.02)
+
+
+def test_merge_texels_matches_apply_updates():
+    """Texel-space merge == slot-space merge for the winner surfels."""
+    from staticfusion_tpu.fusion import texelmap
+
+    smap, d, rgb = _init_map(prob=0.5)
+    tick = jnp.asarray(2, jnp.int32)
+    tex, local = indexmap.predict_indices(smap, jnp.eye(4), tick, CONFIG)
+    upd, new = association.associate_texels(
+        tex, jnp.asarray(d), jnp.asarray(d), jnp.asarray(rgb),
+        jnp.ones(d.shape), jnp.eye(4), tick, jnp.asarray(1.0), CONFIG)
+    res = association.associate(
+        smap.capacity, tex, jnp.asarray(d), jnp.asarray(d), jnp.asarray(rgb),
+        jnp.ones(d.shape), jnp.eye(4), tick, jnp.asarray(1.0), CONFIG)
+
+    merged = update.merge_texels(tex, upd, tick, CONFIG)
+    # Slot path: note apply_updates blends world positions; identity pose
+    # makes world == local so the two are directly comparable.
+    slot = update.apply_updates(smap, res.updates, tick, CONFIG)
+
+    m = np.asarray(upd.has & tex.has)
+    ids = np.asarray(tex.idx)[m]
+    np.testing.assert_allclose(np.asarray(merged.conf)[m],
+                               np.asarray(slot.conf)[ids], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(merged.z)[m],
+                               np.asarray(slot.pos)[ids, 2], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(merged.hist)[m],
+                               np.asarray(slot.hist)[ids], atol=1e-6)
+
+
 def test_velocity_weighting():
     import jax
 
