@@ -1,0 +1,90 @@
+"""Pallas TPU kernel for the 13x13 depth bilateral filter.
+
+Reference math: `depth_bilateral.frag:34-76`.  The XLA formulation
+(ops/bilateral.py) emits 169 shifted multiply-adds that the fusion pass
+splits into several HBM-bound loops (~2.9 ms at QVGA).
+
+Kernel structure (shaped by two Mosaic constraints):
+* dynamic ref reads need sublane starts that are provably multiples of 8 —
+  so the grid walks aligned row blocks and each step loads ONE dynamic
+  window (start = program_id * BLOCK, provably aligned), then all 169 taps
+  are *static* value-level slices (sublane shifts + lane rotates);
+* fully unrolled taps with value accumulators made Mosaic stack-allocate
+  every slice (110 MB VMEM for the whole image) — accumulating into VMEM
+  scratch refs instead sequences the taps and lets each tap's temporaries
+  die immediately.
+
+Algebraic identity used (same results as the shader):
+exp(-(space2*ss + color2*sc)) == exp(-dy^2*ss) * exp(-dx^2*ss)
+                                 * exp(-color2*sc)
+with both spatial factors compile-time constants.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from staticfusion_tpu.ops.bilateral import (MIN_DEPTH_MM, RADIUS,
+                                            SIGMA_COLOR2_INV_HALF,
+                                            SIGMA_SPACE2_INV_HALF)
+
+
+def _row_block(rows: int) -> int:
+    for br in (64, 48, 40, 32, 24, 16, 8):
+        if rows % br == 0:
+            return br
+    raise ValueError(f"rows={rows} must be a multiple of 8")
+
+
+def _kernel(pad_ref, mask_ref, out_ref, s1_ref, s2_ref, *, block: int):
+    r = RADIUS
+    cols = out_ref.shape[1]
+    base = pl.program_id(0) * block          # provably a multiple of 8
+    win = pad_ref[pl.dslice(base, block + 2 * r), :]
+    mwin = mask_ref[pl.dslice(base, block + 2 * r), :]
+    d = win[r:r + block, r:r + cols]
+
+    s1_ref[:, :] = jnp.zeros((block, cols), jnp.float32)
+    s2_ref[:, :] = jnp.zeros((block, cols), jnp.float32)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            nb = win[r + dy:r + dy + block, r + dx:r + dx + cols]
+            inb = mwin[r + dy:r + dy + block, r + dx:r + dx + cols]
+            sw = math.exp(-((dx * dx + dy * dy) * SIGMA_SPACE2_INV_HALF))
+            diff = d - nb
+            w = (sw * inb) * jnp.exp(-(diff * diff) * SIGMA_COLOR2_INV_HALF)
+            s1_ref[:, :] = s1_ref[:, :] + nb * w
+            s2_ref[:, :] = s2_ref[:, :] + w
+
+    out_ref[:, :] = jnp.round(s1_ref[:, :]
+                              / jnp.maximum(s2_ref[:, :], 1e-20))
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth_m",))
+def bilateral_filter_mm(depth_mm: jnp.ndarray,
+                        max_depth_m: float) -> jnp.ndarray:
+    rows, cols = depth_mm.shape
+    r = RADIUS
+    block = _row_block(rows)
+    d = depth_mm.astype(jnp.float32)
+    padded = jnp.pad(d, r)
+    mask = jnp.pad(jnp.ones_like(d), r)
+    full = pl.BlockSpec((rows + 2 * r, cols + 2 * r), lambda i: (0, 0))
+    out = pl.pallas_call(
+        functools.partial(_kernel, block=block),
+        grid=(rows // block,),
+        in_specs=[full, full],
+        out_specs=pl.BlockSpec((block, cols), lambda i: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((block, cols), jnp.float32),
+                        pltpu.VMEM((block, cols), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+    )(padded, mask)
+    # Center gate (depth_bilateral.frag:41-44) — fuses into the caller.
+    in_range = (d >= MIN_DEPTH_MM) & (d <= max_depth_m * 1000.0)
+    return jnp.where(in_range, out, 0.0)

@@ -11,6 +11,7 @@ VMEM-tiled variant lives in kernels/pallas_bilateral.py for the hot path.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 SIGMA_SPACE2_INV_HALF = 0.024691358
@@ -22,7 +23,13 @@ MIN_DEPTH_MM = 300.0
 def bilateral_filter_mm(depth_mm: jnp.ndarray, max_depth_m: float) -> jnp.ndarray:
     """Bilateral-filter a depth image in millimeters (float32 carrying u16
     values).  Out-of-range centers output 0; in-bounds neighbors (including
-    invalid zeros) participate exactly as in the reference shader."""
+    invalid zeros) participate exactly as in the reference shader.
+
+    Dispatches to the Pallas VMEM-resident kernel on TPU."""
+    if jax.default_backend() == "tpu":
+        from staticfusion_tpu.kernels import bilateral_pallas
+        return bilateral_pallas.bilateral_filter_mm(depth_mm,
+                                                    float(max_depth_m))
     rows, cols = depth_mm.shape
     d = depth_mm.astype(jnp.float32)
     r = RADIUS
