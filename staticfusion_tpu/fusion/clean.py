@@ -29,8 +29,7 @@ import jax.numpy as jnp
 from staticfusion_tpu.config import SFConfig
 from staticfusion_tpu.fusion.association import NewSurfels
 from staticfusion_tpu.fusion.surfels import SurfelMap
-from staticfusion_tpu.fusion.texelmap import (SurfelsLocal, TexelImages,
-                                              render_cull)
+from staticfusion_tpu.fusion.texelmap import SurfelsLocal, TexelImages
 
 
 def _axis_weight(off: int, frac: jnp.ndarray, F: int) -> jnp.ndarray:
@@ -192,11 +191,14 @@ def clean_and_insert(smap: SurfelMap,
         col(ins.astype(jnp.float32))], axis=1)
     out = base.at[tgt].set(payload, mode="drop")
 
+    used = jnp.maximum(smap.used,
+                       jnp.max(jnp.where(ins, slot + 1, 0))).astype(jnp.int32)
     return SurfelMap(
         pos=out[:, 0:3], conf=out[:, 3], color=out[:, 4:7],
         hist=out[:, 7], init_time=out[:, 8], last_time=out[:, 9],
         normal=out[:, 10:13], radius=out[:, 13],
         valid=out[:, 14] > 0.5,
+        used=used,
     )
 
 
@@ -218,14 +220,15 @@ def writeback_and_insert(smap: SurfelMap,
       with the stale-stable retention quirk;
     * texel write-back: texels whose winner was updated (merged attributes,
       update.vert) or window-killed (valid=0) scatter to `merged.idx`;
-    * insert: new unstable surfels scatter into free slots.
+    * insert: new unstable surfels append at the `used` high-water mark (the
+      reference appends at its transform-feedback count,
+      GlobalModel.cpp:577-581) — a cumsum replaces the free-slot argsort;
+      killed slots leak until the host's periodic compact_map reclaims them.
 
-    Disjointness proof: write-back targets are z-buffer winners, a subset of
-    `render_cull(...)`; free slots exclude `render_cull(...)` entirely (such
-    slots are freed one frame later — the reference frees them the same
-    frame, but its clean runs after a re-render, which we fold away)."""
+    Disjointness proof: write-back targets are z-buffer winners, which are
+    valid surfels in [0, used); inserts target [used, capacity)."""
+    del local
     fus = config.fusion
-    cam = config.camera
     tickf = jnp.asarray(tick, jnp.float32)
 
     # ---- elementwise lifecycle on the old slot arrays ----
@@ -236,21 +239,14 @@ def writeback_and_insert(smap: SurfelMap,
                    ((tickf - smap.last_time) > fus.time_delta)
     keep_elem = (keep_elem | (smap.valid & stale_stable)) & smap.valid
 
-    # ---- free-slot allocation (excludes every rendered slot) ----
-    rendered = render_cull(smap, local, tick, config)
-    not_free = keep_elem | rendered
+    # ---- append new surfels at the high-water mark ----
     max_new = new.is_new.shape[0]
-    n_slots = min(max_new,
-                  ((cam.height + 1) // 2) * ((cam.width + 1) // 2))
-    order = jnp.argsort(not_free, stable=True)[:n_slots]
-    n_free = smap.capacity - jnp.sum(not_free.astype(jnp.int32))
-    free_slots = jnp.where(jnp.arange(n_slots) < n_free, order,
-                           smap.capacity)
     rank = jnp.cumsum(new.is_new.astype(jnp.int32)) - 1
-    slot = jnp.where(new.is_new, free_slots[jnp.clip(rank, 0, n_slots - 1)],
-                     smap.capacity)
-    ins = new.is_new & (slot < smap.capacity) & (rank < n_slots)
+    slot = smap.used + rank
+    ins = new.is_new & (slot < smap.capacity)
     tgt_ins = jnp.where(ins, slot, smap.capacity)
+    n_new = jnp.where(max_new > 0, rank[-1] + 1, 0)
+    used = jnp.minimum(smap.capacity, smap.used + n_new).astype(jnp.int32)
 
     # ---- texel write-back rows (camera-local -> world once) ----
     wb = merged.has & (upd_has | kill_tex)
@@ -290,4 +286,5 @@ def writeback_and_insert(smap: SurfelMap,
         hist=out[:, 7], init_time=out[:, 8], last_time=out[:, 9],
         normal=out[:, 10:13], radius=out[:, 13],
         valid=out[:, 14] > 0.5,
+        used=used,
     )

@@ -36,6 +36,12 @@ class SurfelMap(NamedTuple):
     normal: jnp.ndarray     # (N, 3) world
     radius: jnp.ndarray     # (N,)
     valid: jnp.ndarray      # (N,) bool
+    # Scalar high-water mark: slots [0, used) have ever held a surfel.  New
+    # surfels append at `used` (the reference appends at its transform-
+    # feedback `count`, GlobalModel.cpp:577-581); slots freed by kills leak
+    # until the host's periodic compaction reclaims them — this removes the
+    # per-frame free-slot argsort from the fuse hot path.
+    used: jnp.ndarray       # () int32
 
     @property
     def capacity(self) -> int:
@@ -50,7 +56,8 @@ def empty_map(capacity: int) -> SurfelMap:
     z1 = jnp.zeros((capacity,), jnp.float32)
     return SurfelMap(pos=z3, conf=z1, color=z3, hist=z1, init_time=z1,
                      last_time=z1, normal=z3, radius=z1,
-                     valid=jnp.zeros((capacity,), bool))
+                     valid=jnp.zeros((capacity,), bool),
+                     used=jnp.asarray(0, jnp.int32))
 
 
 def next_pow2(n: int) -> int:
@@ -89,10 +96,12 @@ def compact_map(smap: SurfelMap, new_capacity: int) -> SurfelMap:
         col(smap.init_time), col(smap.last_time), smap.normal,
         col(smap.radius)], axis=1)
     out = jnp.where(has[:, None], packed[safe], 0.0)  # one wide gather
+    used = jnp.minimum(n_valid, new_capacity).astype(jnp.int32)
     return SurfelMap(pos=out[:, 0:3], conf=out[:, 3], color=out[:, 4:7],
                      hist=out[:, 7], init_time=out[:, 8],
                      last_time=out[:, 9], normal=out[:, 10:13],
-                     radius=out[:, 13], valid=smap.valid[safe] & has)
+                     radius=out[:, 13], valid=smap.valid[safe] & has,
+                     used=used)
 
 
 class FrameCloud(NamedTuple):
@@ -209,4 +218,5 @@ def initialise_map(capacity: int,
         radius=m.radius.at[:n_pix].set(
             jnp.where(valid, crop(filt.radius.ravel()), 0.0)),
         valid=m.valid.at[:n_pix].set(valid),
+        used=jnp.asarray(n_pix, jnp.int32),
     )

@@ -42,7 +42,8 @@ def surfel_map_shardings(mesh: Mesh) -> SurfelMap:
     s1 = NamedSharding(mesh, P("map"))
     s2 = NamedSharding(mesh, P("map", None))
     return SurfelMap(pos=s2, conf=s1, color=s2, hist=s1, init_time=s1,
-                     last_time=s1, normal=s2, radius=s1, valid=s1)
+                     last_time=s1, normal=s2, radius=s1, valid=s1,
+                     used=NamedSharding(mesh, P()))
 
 
 def state_shardings(mesh: Mesh) -> SlamState:

@@ -60,7 +60,13 @@ class SlamSystem:
         headroom = count // 4 + self.resize_check_interval * per_frame // 4
         tier = min(self.config.fusion.capacity,
                    max(4096, next_pow2(count + headroom)))
-        if tier != smap.capacity:
+        # Also repack (same tier) when the append high-water mark nears the
+        # tier: inserts go to [used, capacity), so leaked kill-freed slots
+        # must be reclaimed before `used` hits the wall.
+        watermark_full = (int(smap.used)
+                          + self.resize_check_interval * per_frame
+                          > smap.capacity)
+        if tier != smap.capacity or watermark_full:
             self.state = self.state._replace(smap=compact_map(smap, tier))
 
     def _to_frame(self, rgb: np.ndarray, depth_mm: np.ndarray) -> Frame:

@@ -30,7 +30,7 @@ def load_state(path: str) -> SlamState:
     leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
     # Rebuild the treedef from a template with matching structure.
     template = SlamState(
-        smap=SurfelMap(*[0] * 9), curr_pose=0, tick=0, im_count=0,
+        smap=SurfelMap(*[0] * 10), curr_pose=0, tick=0, im_count=0,
         twist_old=0, rings=RingBuffers(0, 0, 0), prev_rgb=0,
         prev_filt_depth=0, prev_static_prob=0, per_cluster_residual=0,
         pred=PredictedView(*[0] * 7))

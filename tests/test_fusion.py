@@ -262,6 +262,38 @@ def test_merge_texels_matches_apply_updates():
                                np.asarray(slot.hist)[ids], atol=1e-6)
 
 
+def test_writeback_appends_at_watermark():
+    """New surfels append at `used`; used advances; overflow drops."""
+    smap, d, rgb = _init_map()
+    n_pix = CONFIG.rows * CONFIG.cols
+    tick = jnp.asarray(3, jnp.int32)
+    tex, local = indexmap.predict_indices(smap, jnp.eye(4), tick, CONFIG)
+    upd, _ = association.associate_texels(
+        tex, jnp.asarray(d), jnp.asarray(d), jnp.asarray(rgb),
+        jnp.ones(d.shape), jnp.eye(4), tick, jnp.asarray(1.0), CONFIG)
+    merged = update.merge_texels(tex, upd, tick, CONFIG)
+    kill = clean.window_kill_tex(merged, tick, CONFIG)
+    is_new = jnp.zeros((n_pix,), bool).at[10:17].set(True)
+    new_rec = association.NewSurfels(
+        is_new=is_new, pos=jnp.ones((n_pix, 3)),
+        conf=jnp.full((n_pix,), 0.08), color=jnp.full((n_pix, 3), 0.5),
+        normal=jnp.ones((n_pix, 3)), radius=jnp.full((n_pix,), 0.01))
+    used0 = int(smap.used)
+    out = clean.writeback_and_insert(smap, merged, upd.has, kill, local,
+                                     new_rec, jnp.eye(4), tick, CONFIG)
+    assert int(out.used) == used0 + 7
+    ins = np.flatnonzero(np.asarray(out.valid) & ~np.asarray(smap.valid))
+    np.testing.assert_array_equal(ins, np.arange(used0, used0 + 7))
+    np.testing.assert_allclose(np.asarray(out.conf)[ins], 0.08)
+    # Map nearly full: only the remaining slots accept inserts.
+    smap_full = smap._replace(used=jnp.asarray(smap.capacity - 3, jnp.int32))
+    out2 = clean.writeback_and_insert(smap_full, merged, upd.has, kill, local,
+                                      new_rec, jnp.eye(4), tick, CONFIG)
+    assert int(out2.used) == smap.capacity
+    ins2 = np.flatnonzero(np.asarray(out2.valid) & ~np.asarray(smap.valid))
+    assert len(ins2) == 3
+
+
 def test_velocity_weighting():
     import jax
 
