@@ -304,6 +304,31 @@ def test_velocity_weighting():
     assert abs(float(w2) - 0.5) < 1e-6
 
 
+def test_factor4_reference_exact_mode():
+    """The full fuse + predict cycle at the reference's FACTOR=4 texel grid
+    (IndexMap.cpp:21): same invariants as the F=1 production default."""
+    cfg = SFConfig(camera=CameraConfig(width=80, height=60),
+                   fusion=FusionConfig(capacity=1 << 13, index_factor=4))
+    d, rgb = _flat_scene()
+    sp = np.full(d.shape, 0.6, np.float32)
+    smap = surfels.initialise_map(cfg.fusion.capacity, jnp.asarray(d),
+                                  jnp.asarray(d), jnp.asarray(rgb),
+                                  jnp.asarray(sp), jnp.eye(4), cfg)
+    res = backend.fuse_frame(
+        smap, jnp.eye(4), jnp.eye(4), jnp.asarray(d), jnp.asarray(d),
+        jnp.asarray(rgb), jnp.ones(d.shape), jnp.asarray(2, jnp.int32), cfg)
+    assert abs(int(res.smap.count()) - int(smap.count())) < 0.02 * d.size
+    matched = np.asarray(res.smap.last_time) == 2.0
+    assert matched.sum() > 0.15 * d.size
+    assert float(jnp.mean(res.smap.conf[matched])) > float(
+        jnp.mean(smap.conf[matched]))
+    # The fuse-carried prediction reproduces the scene at F=4 too.
+    depth = np.asarray(res.pred.depth)
+    inner = depth[4:-4, 4:-4]
+    assert (inner > 0).mean() > 0.9
+    np.testing.assert_allclose(inner[inner > 0], 2.0, atol=0.02)
+
+
 def test_compact_map_preserves_surfels_and_render():
     smap, d, rgb = _init_map()
     # Kill a scattered subset so valid slots have holes.
