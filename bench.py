@@ -24,7 +24,9 @@ def main():
     from staticfusion_tpu.pipeline.step import Frame, bootstrap_step, slam_step
 
     n_warmup = int(os.environ.get("SF_BENCH_WARMUP", "3"))
-    n_iters = int(os.environ.get("SF_BENCH_ITERS", "20"))
+    # Enough frames that the one dispatch round-trip + result sync (~20-30 ms
+    # through the axon tunnel) amortizes below the per-frame noise floor.
+    n_iters = int(os.environ.get("SF_BENCH_ITERS", "60"))
     # 2 -> QVGA (the headline config; README.md:97), 1 -> VGA.
     rf = int(os.environ.get("SF_BENCH_RES_FACTOR", "2"))
     capacity = int(os.environ.get("SF_BENCH_CAPACITY",
