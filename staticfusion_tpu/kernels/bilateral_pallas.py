@@ -35,9 +35,16 @@ from staticfusion_tpu.ops.bilateral import (MIN_DEPTH_MM, RADIUS,
                                             SIGMA_SPACE2_INV_HALF)
 
 
-def _row_block(rows: int) -> int:
+def _row_block(rows: int, cols: int) -> int:
+    # Mosaic stack-allocates the unrolled taps' (block, cols) temporaries in
+    # scoped VMEM (16 MB limit).  Measured at cols=640: block 48 -> 45.4 MB,
+    # block 24 -> 23.0 MB (~0.93 MB/row + 0.6 MB), while 48x320 fits — the
+    # cost is superlinear in cols, so the QVGA-good product cap is unsafe
+    # wider.  Keep the measured-good blocks at cols<=320; drop to 8 rows
+    # (extrapolates to ~8 MB at cols=640) for anything wider.
+    cap = 64 if cols <= 320 else 8
     for br in (64, 48, 40, 32, 24, 16, 8):
-        if rows % br == 0:
+        if rows % br == 0 and br <= cap:
             return br
     raise ValueError(f"rows={rows} must be a multiple of 8")
 
@@ -71,7 +78,7 @@ def bilateral_filter_mm(depth_mm: jnp.ndarray,
                         max_depth_m: float) -> jnp.ndarray:
     rows, cols = depth_mm.shape
     r = RADIUS
-    block = _row_block(rows)
+    block = _row_block(rows, cols)
     d = depth_mm.astype(jnp.float32)
     padded = jnp.pad(d, r)
     mask = jnp.pad(jnp.ones_like(d), r)
