@@ -73,9 +73,10 @@ def _kernel(pad_ref, mask_ref, out_ref, s1_ref, s2_ref, *, block: int):
                               / jnp.maximum(s2_ref[:, :], 1e-20))
 
 
-@functools.partial(jax.jit, static_argnames=("max_depth_m",))
+@functools.partial(jax.jit, static_argnames=("max_depth_m", "interpret"))
 def bilateral_filter_mm(depth_mm: jnp.ndarray,
-                        max_depth_m: float) -> jnp.ndarray:
+                        max_depth_m: float,
+                        interpret: bool = False) -> jnp.ndarray:
     rows, cols = depth_mm.shape
     r = RADIUS
     block = _row_block(rows, cols)
@@ -91,6 +92,7 @@ def bilateral_filter_mm(depth_mm: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((block, cols), jnp.float32),
                         pltpu.VMEM((block, cols), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+        interpret=interpret,  # lets the CPU test suite pin this kernel
     )(padded, mask)
     # Center gate (depth_bilateral.frag:41-44) — fuses into the caller.
     in_range = (d >= MIN_DEPTH_MM) & (d <= max_depth_m * 1000.0)

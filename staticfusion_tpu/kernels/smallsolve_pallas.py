@@ -71,9 +71,9 @@ def _chol_solve_kernel(m_ref, b_ref, x_ref, *, ridge: float):
     x_ref[:] = _chol_solve_body(m_ref[:], b_ref[:], ridge)
 
 
-@functools.partial(jax.jit, static_argnames=("ridge",))
+@functools.partial(jax.jit, static_argnames=("ridge", "interpret"))
 def spd_solve(M: jnp.ndarray, b: jnp.ndarray,
-              ridge: float = 0.0) -> jnp.ndarray:
+              ridge: float = 0.0, interpret: bool = False) -> jnp.ndarray:
     """x = (M + ridge I)^-1 b via one in-kernel unrolled Cholesky.
 
     M: (n, n) SPD; b: (n,) or (n, m)."""
@@ -84,10 +84,13 @@ def spd_solve(M: jnp.ndarray, b: jnp.ndarray,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,  # lets the CPU test suite pin this kernel
     )(M, b2)
     return out[:, 0] if b.ndim == 1 else out
 
 
-@functools.partial(jax.jit, static_argnames=("ridge",))
-def spd_inverse(M: jnp.ndarray, ridge: float = 0.0) -> jnp.ndarray:
-    return spd_solve(M, jnp.eye(M.shape[0], dtype=M.dtype), ridge=ridge)
+@functools.partial(jax.jit, static_argnames=("ridge", "interpret"))
+def spd_inverse(M: jnp.ndarray, ridge: float = 0.0,
+                interpret: bool = False) -> jnp.ndarray:
+    return spd_solve(M, jnp.eye(M.shape[0], dtype=M.dtype), ridge=ridge,
+                     interpret=interpret)

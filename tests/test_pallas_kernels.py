@@ -1,0 +1,99 @@
+"""Pin the TPU Pallas kernels against their jnp reference paths.
+
+These kernels normally run only on real TPU (`ops/bilateral.py` and
+`ops/smallsolve.py` dispatch on backend), so the rest of the CPU suite never
+exercises them.  Pallas interpret mode runs the same kernel bodies on CPU,
+letting us property-test them against the XLA formulations they replace:
+the 169-tap bilateral (`depth_bilateral.frag:34-76` math) and the unrolled
+Cholesky solves (FrontEnd.cpp:640-642, SegmentationBackground.cpp:157).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from staticfusion_tpu.kernels import bilateral_pallas, smallsolve_pallas
+from staticfusion_tpu.ops import bilateral as bilateral_ref
+from staticfusion_tpu.ops import smallsolve as smallsolve_ref
+
+
+def _depth_image(rng, rows, cols):
+    """Depth-like mm image: smooth field + holes (exact 0.0 sentinels) +
+    out-of-range extremes to hit every gate."""
+    yy, xx = np.mgrid[0:rows, 0:cols].astype(np.float32)
+    d = 1500.0 + 900.0 * np.sin(xx / 17.0) * np.cos(yy / 11.0)
+    d += rng.normal(0.0, 30.0, (rows, cols)).astype(np.float32)
+    d[rng.random((rows, cols)) < 0.1] = 0.0          # invalid holes
+    d[rng.random((rows, cols)) < 0.03] = 150.0       # below 300 mm gate
+    d[rng.random((rows, cols)) < 0.03] = 6000.0      # above maxD gate
+    return np.round(d).astype(np.float32)            # u16-valued, like PNGs
+
+
+# (24, 64) exercises a multi-step grid; (16, 384) the wide-image block=8
+# branch (the VGA scoped-VMEM fix); (40, 320) the odd-divisor path.
+@pytest.mark.parametrize("rows,cols", [(24, 64), (16, 384), (40, 320)])
+def test_bilateral_kernel_matches_xla_path(rows, cols):
+    rng = np.random.default_rng(rows * 1000 + cols)
+    d = jnp.asarray(_depth_image(rng, rows, cols))
+
+    got = np.asarray(bilateral_pallas.bilateral_filter_mm(
+        d, 4.5, interpret=True))
+    # ops/bilateral.py on CPU is the jnp shifted-MAC formulation.
+    want = np.asarray(bilateral_ref.bilateral_filter_mm(d, 4.5))
+
+    # Identical tap order; only compiler-level reassociation can differ.
+    # Both round() to integer mm at the end, so allow one-ulp-of-round.
+    assert np.all(np.abs(got - want) <= 1.0)
+    assert np.mean(got != want) < 1e-3
+    # Gates: out-of-range centers must be exactly zero.
+    center = np.asarray(d)
+    assert np.all(got[(center < 300.0) | (center > 4500.0)] == 0.0)
+
+
+@pytest.mark.parametrize("n", [6, 24])
+@pytest.mark.parametrize("nrhs", [None, 6])
+def test_spd_solve_kernel(n, nrhs):
+    rng = np.random.default_rng(n * 10 + (nrhs or 0))
+    a = rng.normal(size=(n, n)).astype(np.float32)
+    M = a @ a.T + n * np.eye(n, dtype=np.float32)
+    b = rng.normal(size=(n,) if nrhs is None else (n, nrhs))
+    b = b.astype(np.float32)
+
+    got = np.asarray(smallsolve_pallas.spd_solve(
+        jnp.asarray(M), jnp.asarray(b), interpret=True))
+    want = np.linalg.solve(M.astype(np.float64), b.astype(np.float64))
+    xla = np.asarray(smallsolve_ref.spd_solve(jnp.asarray(M),
+                                              jnp.asarray(b)))
+
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / scale < 5e-5
+    # The kernel replaces the XLA formulation 1:1 on TPU — they must agree
+    # to f32 roundoff on the same inputs.
+    assert np.abs(got - xla).max() / scale < 5e-5
+
+
+def test_spd_solve_kernel_ridge():
+    n = 6
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(n, n)).astype(np.float32)
+    M = a @ a.T + np.eye(n, dtype=np.float32)
+    b = rng.normal(size=(n,)).astype(np.float32)
+    ridge = 0.25
+
+    got = np.asarray(smallsolve_pallas.spd_solve(
+        jnp.asarray(M), jnp.asarray(b), ridge=ridge, interpret=True))
+    want = np.linalg.solve(M.astype(np.float64) + ridge * np.eye(n), b)
+    assert np.abs(got - want).max() / (np.abs(want).max() + 1e-6) < 5e-5
+
+
+@pytest.mark.parametrize("n", [6, 24])
+def test_spd_inverse_kernel(n):
+    rng = np.random.default_rng(n)
+    a = rng.normal(size=(n, n)).astype(np.float32)
+    M = a @ a.T + n * np.eye(n, dtype=np.float32)
+
+    got = np.asarray(smallsolve_pallas.spd_inverse(jnp.asarray(M),
+                                                   interpret=True))
+    ident = got @ M
+    assert np.abs(ident - np.eye(n)).max() < 1e-3
