@@ -1,0 +1,165 @@
+"""Keyframe database, loop-closure detection, and trajectory correction.
+
+Net-new capability: the reference only *logs* its pose graph
+(`Reconstruction.cpp:315` — the `poseGraph` vector is never optimized), so
+drift accumulates forever.  This layer closes the loop the TPU way:
+
+* **Fingerprints** are block-statistics embeddings (mean intensity +
+  mean/validity of depth per coarse cell) — the same role as
+  ElasticFusion-style fern codes, but a dense (D,) vector so the database
+  query is one (K, D) matmul/reduction on device instead of per-fern code
+  comparisons.
+* **Relative pose** between a matched keyframe and the current frame reuses
+  the full coarse-to-fine joint solver (`solver/runsolver.py`) in its
+  frame-to-frame configuration (the bootstrap path, pipeline/step.py) — no
+  separate feature pipeline.
+* **Correction** builds a pose graph over the keyframes (odometry chain +
+  the loop constraint) and runs the existing Gauss-Newton optimizer
+  (`parallel/posegraph.py`), which also has a constraint-sharded
+  `optimize_sharded` variant for large graphs.
+
+The surfel map is not deformed on correction (the reference never corrects
+at all); new fusion happens at corrected poses.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from staticfusion_tpu.config import SFConfig
+from staticfusion_tpu.geometry import se3
+from staticfusion_tpu.ops.pyramid import build_pyramid_pair
+from staticfusion_tpu.parallel import posegraph
+from staticfusion_tpu.solver.runsolver import run_solver
+
+FP_GRID = (12, 16)  # coarse cells; divides QVGA (240x320) and VGA (480x640)
+
+
+class KeyframeDB(NamedTuple):
+    """Fixed-capacity keyframe store (static shapes; a validity count)."""
+    emb: jnp.ndarray        # (K, D) fingerprints
+    poses: jnp.ndarray      # (K, 4, 4) world_T_kf at insertion time
+    intensity: jnp.ndarray  # (K, H, W) stored grayscale
+    depth: jnp.ndarray      # (K, H, W) stored raw depth, meters
+    frame_idx: jnp.ndarray  # (K,) int32 source frame number
+    count: jnp.ndarray      # int32 live keyframes
+
+
+def fp_dim(grid: Tuple[int, int] = FP_GRID) -> int:
+    return grid[0] * grid[1] * 3
+
+
+def empty_db(capacity: int, rows: int, cols: int,
+             grid: Tuple[int, int] = FP_GRID) -> KeyframeDB:
+    return KeyframeDB(
+        emb=jnp.zeros((capacity, fp_dim(grid))),
+        poses=jnp.broadcast_to(jnp.eye(4), (capacity, 4, 4)),
+        intensity=jnp.zeros((capacity, rows, cols)),
+        depth=jnp.zeros((capacity, rows, cols)),
+        frame_idx=jnp.full((capacity,), -1, jnp.int32),
+        count=jnp.asarray(0, jnp.int32),
+    )
+
+
+def fingerprint(intensity: jnp.ndarray, depth: jnp.ndarray,
+                grid: Tuple[int, int] = FP_GRID) -> jnp.ndarray:
+    """(D,) appearance+geometry embedding from coarse cell statistics.
+
+    Per cell: mean intensity (contrast-normalized over the frame), mean
+    valid depth (normalized by the frame's mean depth, for lighting/scale
+    robustness), and the valid-depth fraction.  Invalid depth is the exact
+    0.0 sentinel, as everywhere in the pipeline."""
+    gh, gw = grid
+    rows, cols = intensity.shape
+    bi = intensity.reshape(gh, rows // gh, gw, cols // gw).mean(axis=(1, 3))
+    valid = (depth > 0.0).astype(depth.dtype)
+    cells = depth.reshape(gh, rows // gh, gw, cols // gw)
+    vcells = valid.reshape(gh, rows // gh, gw, cols // gw)
+    vfrac = vcells.mean(axis=(1, 3))
+    dsum = cells.sum(axis=(1, 3))
+    dmean = dsum / jnp.maximum(vcells.sum(axis=(1, 3)), 1.0)
+    bi = (bi - bi.mean()) / (bi.std() + 1e-6)
+    dnorm = dmean / (jnp.sum(dsum) / jnp.maximum(jnp.sum(valid), 1.0) + 1e-6)
+    return jnp.concatenate([bi.ravel(), dnorm.ravel(), vfrac.ravel()])
+
+
+@jax.jit
+def add_keyframe(db: KeyframeDB, intensity: jnp.ndarray, depth: jnp.ndarray,
+                 pose: jnp.ndarray, frame_idx) -> KeyframeDB:
+    """Append at `count` (capacity-full DBs keep their oldest — loop closure
+    wants long memory, so the host should size capacity for the run)."""
+    k = jnp.minimum(db.count, db.emb.shape[0] - 1)
+    return KeyframeDB(
+        emb=db.emb.at[k].set(fingerprint(intensity, depth)),
+        poses=db.poses.at[k].set(pose),
+        intensity=db.intensity.at[k].set(intensity),
+        depth=db.depth.at[k].set(depth),
+        frame_idx=db.frame_idx.at[k].set(jnp.asarray(frame_idx, jnp.int32)),
+        count=jnp.minimum(db.count + 1, db.emb.shape[0]),
+    )
+
+
+@jax.jit
+def query(db: KeyframeDB, emb: jnp.ndarray, cur_frame_idx,
+          min_gap) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(best_k, best_dist): nearest stored fingerprint at least `min_gap`
+    frames older than `cur_frame_idx`.  best_dist is +inf when no keyframe
+    qualifies; the host applies the acceptance threshold."""
+    idx = jnp.arange(db.emb.shape[0])
+    eligible = ((idx < db.count)
+                & (db.frame_idx <= jnp.asarray(cur_frame_idx) - min_gap))
+    d2 = jnp.mean((db.emb - emb[None, :]) ** 2, axis=1)
+    d2 = jnp.where(eligible, d2, jnp.inf)
+    best = jnp.argmin(d2)
+    return best, d2[best]
+
+
+@partial(jax.jit, static_argnames=("config",))
+def relative_pose(kf_intensity: jnp.ndarray, kf_depth: jnp.ndarray,
+                  intensity: jnp.ndarray, depth: jnp.ndarray,
+                  config: SFConfig):
+    """kf_T_cur via the frame-to-frame joint solver (the bootstrap-path
+    configuration: raw depth both sides, zero velocity prior, lenient kb).
+
+    Returns (T, residual): T maps current-frame points into the keyframe,
+    and residual is the mean |depth residual| over covisible pixels at the
+    solution — the host gates acceptance on it (geometric verification)."""
+    pred_pyr, cur_pyr = build_pyramid_pair(kf_depth, kf_intensity,
+                                           depth, intensity, config)
+    sol = run_solver(cur_pyr, pred_pyr, jnp.zeros((6,)), config,
+                     kb=config.solver.kb_bootstrap)
+    covis = jnp.abs(sol.ddt_full) > 0.0
+    resid = (jnp.sum(jnp.abs(sol.ddt_full))
+             / jnp.maximum(jnp.sum(covis.astype(jnp.float32)), 1.0))
+    return sol.T_odometry, resid
+
+
+def close_loop(kf_poses: jnp.ndarray, n_kf, loop_i, loop_j,
+               T_ij: jnp.ndarray, loop_weight: float = 4.0,
+               iters: int = 10) -> jnp.ndarray:
+    """Optimize the keyframe chain against one loop constraint.
+
+    kf_poses: (K, 4, 4) world poses (rows >= n_kf are ignored); the chain
+    k -> k+1 contributes odometry constraints from the composed trajectory,
+    plus the measured loop constraint i_T_j.  Returns (K, 4, 4) optimized
+    poses (gauge-fixed at pose 0, so the map origin is preserved)."""
+    K = kf_poses.shape[0]
+    g = posegraph.empty_graph(K, K + 1)
+    g = g._replace(poses=kf_poses, n_poses=jnp.asarray(n_kf, jnp.int32))
+
+    ks = jnp.arange(K - 1)
+    chain_T = se3.se3_inverse(kf_poses[:-1]) @ kf_poses[1:]
+    chain_w = (ks < jnp.asarray(n_kf) - 1).astype(kf_poses.dtype)
+    g = g._replace(
+        ci=g.ci.at[:K - 1].set(ks.astype(jnp.int32)),
+        cj=g.cj.at[:K - 1].set((ks + 1).astype(jnp.int32)),
+        cT=g.cT.at[:K - 1].set(chain_T),
+        cw=g.cw.at[:K - 1].set(chain_w),
+        n_constraints=jnp.asarray(K - 1, jnp.int32),
+    )
+    g = posegraph.add_constraint(g, loop_i, loop_j, T_ij, loop_weight)
+    return posegraph.optimize(g, iters=iters).poses
