@@ -30,13 +30,16 @@ def main(argv=None):
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--profile", default=None,
                     help="directory for a jax.profiler trace of the run")
+    ap.add_argument("--loop-closure", action="store_true",
+                    help="keyframe loop detection + pose-graph correction")
     args = ap.parse_args(argv)
 
     import contextlib
 
     import jax
 
-    from staticfusion_tpu.config import CameraConfig, SFConfig
+    from staticfusion_tpu.config import (CameraConfig, LoopClosureConfig,
+                                         SFConfig)
     from staticfusion_tpu.io import tum
     from staticfusion_tpu.io.ply import save_ply
     from staticfusion_tpu.pipeline.system import SlamSystem
@@ -49,7 +52,8 @@ def main(argv=None):
     # Sensor-native 640x480 divided by res_factor (the reference's
     # `res_factor` constant in each main; 2 -> QVGA, 1 -> VGA).
     config = SFConfig(camera=CameraConfig(width=640 // args.res_factor,
-                                          height=480 // args.res_factor))
+                                          height=480 // args.res_factor),
+                      loop=LoopClosureConfig(enabled=args.loop_closure))
     slam = SlamSystem(config, initial_pose=seq.initial_gt_pose())
     logger = MetricsLogger(args.metrics, echo=args.metrics is None)
     profile_ctx = (jax.profiler.trace(args.profile) if args.profile
@@ -60,6 +64,8 @@ def main(argv=None):
 
     slam.write_trajectory(args.out)
     print(f"wrote {len(slam.poses)} poses to {args.out}")
+    if slam.loop_closures:
+        print(f"closed {len(slam.loop_closures)} loops: {slam.loop_closures}")
     if seq.gt_times is not None:
         ate = slam.ate(seq.gt_times, seq.gt_poses)
         print(f"ATE RMSE vs groundtruth: {ate:.4f} m")

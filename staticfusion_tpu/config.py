@@ -130,11 +130,29 @@ class MeshConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class LoopClosureConfig:
+    """Keyframe loop closure (net-new: the reference logs its pose graph,
+    Reconstruction.cpp:315, but never optimizes it)."""
+
+    enabled: bool = False
+    kf_interval: int = 10     # frames between stored keyframes
+    capacity: int = 64        # keyframe slots (fixed shapes)
+    min_gap: int = 30         # frames a match must be older than the query
+    max_fp_dist: float = 0.005  # fingerprint MSE acceptance (revisits
+                                # measure ~1e-3; 5-frame-apart views ~1e-2)
+    max_residual: float = 0.04  # depth-residual verification gate (m)
+    loop_weight: float = 4.0  # loop vs odometry constraint weight
+    gn_iters: int = 10        # pose-graph Gauss-Newton iterations
+
+
+@dataclasses.dataclass(frozen=True)
 class SFConfig:
     camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
     fusion: FusionConfig = dataclasses.field(default_factory=FusionConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    loop: LoopClosureConfig = dataclasses.field(
+        default_factory=LoopClosureConfig)
     num_clusters: int = NUM_CLUSTERS
     buffer_length: int = 5               # temporal residual ring (StaticFusion.h:96)
     rescue_residual_threshold: float = 0.017  # SegmentationBackground.cpp:190
@@ -171,8 +189,9 @@ class SFConfig:
             solver=SolverConfig(**raw.get("solver", {})),
             fusion=FusionConfig(**raw.get("fusion", {})),
             mesh=MeshConfig(**raw.get("mesh", {})),
+            loop=LoopClosureConfig(**raw.get("loop", {})),
             **{k: v for k, v in raw.items()
-               if k not in ("camera", "solver", "fusion", "mesh")},
+               if k not in ("camera", "solver", "fusion", "mesh", "loop")},
         )
 
 

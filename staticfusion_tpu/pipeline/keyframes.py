@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from staticfusion_tpu.config import SFConfig
 from staticfusion_tpu.geometry import se3
 from staticfusion_tpu.ops.pyramid import build_pyramid_pair
+from staticfusion_tpu.ops.warp import warp_images_gather
 from staticfusion_tpu.parallel import posegraph
 from staticfusion_tpu.solver.runsolver import run_solver
 
@@ -132,9 +133,21 @@ def relative_pose(kf_intensity: jnp.ndarray, kf_depth: jnp.ndarray,
                                            depth, intensity, config)
     sol = run_solver(cur_pyr, pred_pyr, jnp.zeros((6,)), config,
                      kb=config.solver.kb_bootstrap)
-    covis = jnp.abs(sol.ddt_full) > 0.0
-    resid = (jnp.sum(jnp.abs(sol.ddt_full))
-             / jnp.maximum(jnp.sum(covis.astype(jnp.float32)), 1.0))
+    # Covisibility-masked alignment residual: warp the keyframe into the
+    # current frame at the solution and compare depths only where both are
+    # valid (0.0 = invalid everywhere in the pipeline).  A misregistered or
+    # barely-overlapping pair scores high and is rejected by the host.
+    warped = warp_images_gather(pred_pyr[0], cur_pyr[0].depth,
+                                sol.T_odometry, config.camera.fovh)
+    covis = ((warped.depth > 0.0) & (cur_pyr[0].depth > 0.0)).astype(
+        jnp.float32)
+    resid = (jnp.sum(jnp.abs(cur_pyr[0].depth - warped.depth) * covis)
+             / jnp.maximum(jnp.sum(covis), 1.0))
+    # Penalize tiny overlap outright: fewer than 25% covisible pixels is
+    # not a verifiable match (same spirit as denseEnough's 25% gate,
+    # Reconstruction.cpp:218-233).
+    frac = jnp.sum(covis) / covis.size
+    resid = jnp.where(frac < 0.25, jnp.inf, resid)
     return sol.T_odometry, resid
 
 

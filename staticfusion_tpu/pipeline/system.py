@@ -20,6 +20,7 @@ import numpy as np
 from staticfusion_tpu.config import SFConfig
 from staticfusion_tpu.fusion.surfels import compact_map, next_pow2
 from staticfusion_tpu.io import trajectory as traj_io
+from staticfusion_tpu.pipeline import keyframes
 from staticfusion_tpu.pipeline.step import (Frame, StepOutputs, bootstrap_step,
                                             slam_step)
 
@@ -47,6 +48,13 @@ class SlamSystem:
         # `count` (GlobalModel.cpp:562-581).
         self.resize_check_interval = max(1, resize_check_interval)
         self._frames_since_resize_check = 0
+        # Loop closure (config.loop): keyframe DB on device; the host syncs
+        # one scalar per kf_interval frames to decide whether to attempt a
+        # closure (the reference never closes loops — Reconstruction.cpp:315).
+        self._kf_db = (keyframes.empty_db(config.loop.capacity,
+                                          config.rows, config.cols)
+                       if config.loop.enabled else None)
+        self.loop_closures: List[dict] = []
 
     def _maybe_resize_map(self):
         self._frames_since_resize_check += 1
@@ -88,12 +96,50 @@ class SlamSystem:
         else:
             self.state, out = slam_step(self.state, frame, self.config)
         self._maybe_resize_map()
+        if self._kf_db is not None:
+            out = self._maybe_close_loop(frame, out)
         # Keep outputs on device: host round-trips are expensive (and on the
         # axon tunnel, catastrophic); everything is fetched lazily.
         self.times.append(timestamp)
         self.poses.append(out.curr_pose)
         self.frame_seconds.append(time.perf_counter() - t0)
         self._pending_metrics.append((timestamp, out))
+        return out
+
+    def _maybe_close_loop(self, frame: Frame, out: StepOutputs):
+        """Every kf_interval frames: fingerprint, query the DB, and on a
+        candidate match run geometric verification (a frame-to-frame solve)
+        + pose-graph correction.  Only the query distance and, on candidate
+        hits, the verification residual cross to the host."""
+        lc = self.config.loop
+        n = len(self.times)  # frames processed before this one
+        if n % lc.kf_interval != 0:
+            return out
+        from staticfusion_tpu.pipeline.step import _intensity
+
+        inten = _intensity(frame.rgb)
+        depth = frame.depth_mm / 1000.0
+        emb = keyframes.fingerprint(inten, depth)
+        db = self._kf_db
+        best, dist = keyframes.query(db, emb, n, lc.min_gap)
+        pose = out.curr_pose
+        if float(dist) < lc.max_fp_dist and int(db.count) < db.emb.shape[0]:
+            k = int(best)
+            T, resid = keyframes.relative_pose(
+                db.intensity[k], db.depth[k], inten, depth, self.config)
+            if float(resid) < lc.max_residual:
+                cur_node = int(db.count)
+                chain = db.poses.at[cur_node].set(pose)
+                opt = keyframes.close_loop(chain, cur_node + 1, k, cur_node,
+                                           T, lc.loop_weight, lc.gn_iters)
+                pose = opt[cur_node]
+                db = db._replace(poses=opt)
+                self.state = self.state._replace(curr_pose=pose)
+                out = out._replace(curr_pose=pose)
+                self.loop_closures.append({
+                    "frame": n, "keyframe": int(db.frame_idx[k]),
+                    "fp_dist": float(dist), "residual": float(resid)})
+        self._kf_db = keyframes.add_keyframe(db, inten, depth, pose, n)
         return out
 
     @property

@@ -8,7 +8,8 @@ import pytest
 
 import jax.numpy as jnp
 
-from staticfusion_tpu.config import SFConfig, CameraConfig, FusionConfig
+from staticfusion_tpu.config import (SFConfig, CameraConfig, FusionConfig,
+                                     LoopClosureConfig)
 from staticfusion_tpu.geometry import se3
 from staticfusion_tpu.io import synthetic
 from staticfusion_tpu.pipeline import keyframes as kf
@@ -74,6 +75,40 @@ def test_relative_pose_recovers_twist(frames):
     assert err[:3, 3].max() < 5e-3, f"translation off: {err[:3, 3]}"
     assert err[:3, :3].max() < 5e-3
     assert float(resid) < 0.05
+
+
+def test_loop_closure_fires_in_pipeline():
+    """Out-and-back trajectory: the return leg revisits earlier views, the
+    pipeline detects it, geometric verification passes, and the corrected
+    trajectory stays accurate."""
+    from staticfusion_tpu.io.synthetic import default_world, render_frame
+    from staticfusion_tpu.pipeline.system import SlamSystem
+
+    cfg = CONFIG.replace(loop=LoopClosureConfig(
+        enabled=True, kf_interval=2, capacity=16, min_gap=5,
+        max_fp_dist=0.005, max_residual=0.05))
+    planes, _ = default_world()
+    dT = np.asarray(se3.se3_exp(jnp.asarray(TWIST)))
+    dT_inv = np.linalg.inv(dT).astype(np.float32)
+    pose = np.eye(4, dtype=np.float32)
+    gt = []
+    frames = []
+    for i in range(16):
+        frames.append(render_frame(pose, cfg, planes))
+        gt.append(pose.copy())
+        pose = (pose @ (dT if i < 8 else dT_inv)).astype(np.float32)
+    gt = np.stack(gt)
+
+    slam = SlamSystem(cfg)
+    for i, (rgb, depth_mm, _) in enumerate(frames):
+        slam.process(rgb, depth_mm, i / 30.0)
+
+    assert len(slam.loop_closures) >= 1, "no loop closure detected"
+    for c in slam.loop_closures:
+        assert c["frame"] - c["keyframe"] >= cfg.loop.min_gap
+        assert c["residual"] < cfg.loop.max_residual
+    ate = slam.ate(np.arange(16) / 30.0, gt)
+    assert ate < 0.03, f"ATE {ate} after loop closure"
 
 
 def test_close_loop_removes_drift():
