@@ -32,6 +32,9 @@ def main(argv=None):
                     help="directory for a jax.profiler trace of the run")
     ap.add_argument("--loop-closure", action="store_true",
                     help="keyframe loop detection + pose-graph correction")
+    ap.add_argument("--conf-threshold", type=float, default=None,
+                    help="surfel confidence cut for --ply (default: config "
+                         "value; the reference exposes this as a GUI slider)")
     args = ap.parse_args(argv)
 
     import contextlib
@@ -71,8 +74,9 @@ def main(argv=None):
         print(f"ATE RMSE vs groundtruth: {ate:.4f} m")
         logger.log(ate_rmse=ate)
     if args.ply:
-        save_ply(args.ply, slam.state.smap,
-                 config.fusion.confidence_threshold)
+        thr = (config.fusion.confidence_threshold
+               if args.conf_threshold is None else args.conf_threshold)
+        save_ply(args.ply, slam.state.smap, thr)
         print(f"wrote surfel map to {args.ply}")
     if args.checkpoint:
         from staticfusion_tpu.utils.checkpoint import save_state

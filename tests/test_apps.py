@@ -1,0 +1,68 @@
+"""End-to-end CLI app test: synthetic dataset export -> run_sequence ->
+trajectory/PLY/metrics artifacts.
+
+Pins the user-facing surface the reference exposes through its three mains
+(StaticFusion-datasets.cpp etc.): dataset ingest, per-frame loop, trajectory
+export, map export. Shapes (160x120 via --res-factor 4) match the rest of
+the suite so the persistent compile cache is shared.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sfdata"))
+    argv = sys.argv
+    sys.argv = ["make_synthetic_dataset.py", out, "--frames", "8"]
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from scripts.make_synthetic_dataset import main
+        main()
+    finally:
+        sys.argv = argv
+    return out
+
+
+def test_run_sequence_end_to_end(dataset_dir, tmp_path):
+    from apps.run_sequence import main
+
+    traj = str(tmp_path / "traj.txt")
+    ply = str(tmp_path / "map.ply")
+    metrics = str(tmp_path / "metrics.jsonl")
+    # --conf-threshold 0: a 6-frame run hasn't accumulated enough log-odds
+    # merges to cross the 0.25 default (the reference exposes the same cut
+    # as a GUI slider and saves empty-ish maps early in a scan too).
+    main([dataset_dir, "--res-factor", "4", "--max-frames", "6",
+          "--depth-scale", "5000",  # the exporter writes TUM-convention PNGs
+          "--out", traj, "--ply", ply, "--metrics", metrics,
+          "--gt", "groundtruth.txt", "--conf-threshold", "0"])
+
+    lines = [l for l in open(traj).read().splitlines() if l.strip()]
+    assert len(lines) >= 4  # poses for frames 1..5 (frame 0 seeds bootstrap)
+    assert all(len(l.split()) == 8 for l in lines)  # t tx ty tz qx qy qz qw
+
+    assert os.path.getsize(ply) > 1000
+    head = open(ply, "rb").read(64)
+    assert head.startswith(b"ply")
+
+    rows = [json.loads(l) for l in open(metrics).read().splitlines()]
+    assert any("surfels" in r for r in rows)
+    ate_rows = [r for r in rows if "ate_rmse" in r]
+    assert ate_rows and ate_rows[-1]["ate_rmse"] < 0.05
+
+
+def test_run_sequence_loop_closure_flag(dataset_dir, tmp_path):
+    """--loop-closure must run the same sequence without error (too short
+    to close a loop; the keyframe machinery just engages)."""
+    from apps.run_sequence import main
+
+    traj = str(tmp_path / "traj_lc.txt")
+    main([dataset_dir, "--res-factor", "4", "--max-frames", "4",
+          "--depth-scale", "5000", "--out", traj, "--loop-closure"])
+    assert os.path.exists(traj)
