@@ -22,6 +22,8 @@ def main(argv=None):
     ap.add_argument("--res-factor", type=int, default=2)
     ap.add_argument("--out", default="trajectory.txt")
     ap.add_argument("--ply", default=None)
+    ap.add_argument("--html", default=None,
+                    help="self-contained WebGL viewer of the final map")
     ap.add_argument("--metrics", default=None)
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--viz", default=None,
@@ -78,6 +80,18 @@ def main(argv=None):
                if args.conf_threshold is None else args.conf_threshold)
         save_ply(args.ply, slam.state.smap, thr)
         print(f"wrote surfel map to {args.ply}")
+    if args.html:
+        from staticfusion_tpu.viz.webviewer import save_html
+
+        thr = (config.fusion.confidence_threshold
+               if args.conf_threshold is None else args.conf_threshold)
+        import numpy as np
+
+        save_html(args.html, slam.state.smap, thr,
+                  trajectory=np.asarray(slam.poses),
+                  gt_trajectory=seq.gt_poses if seq.gt_times is not None
+                  else None)
+        print(f"wrote web viewer to {args.html}")
     if args.checkpoint:
         from staticfusion_tpu.utils.checkpoint import save_state
 

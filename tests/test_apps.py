@@ -34,13 +34,14 @@ def test_run_sequence_end_to_end(dataset_dir, tmp_path):
 
     traj = str(tmp_path / "traj.txt")
     ply = str(tmp_path / "map.ply")
+    html = str(tmp_path / "map.html")
     metrics = str(tmp_path / "metrics.jsonl")
     # --conf-threshold 0: a 6-frame run hasn't accumulated enough log-odds
     # merges to cross the 0.25 default (the reference exposes the same cut
     # as a GUI slider and saves empty-ish maps early in a scan too).
     main([dataset_dir, "--res-factor", "4", "--max-frames", "6",
           "--depth-scale", "5000",  # the exporter writes TUM-convention PNGs
-          "--out", traj, "--ply", ply, "--metrics", metrics,
+          "--out", traj, "--ply", ply, "--html", html, "--metrics", metrics,
           "--gt", "groundtruth.txt", "--conf-threshold", "0"])
 
     lines = [l for l in open(traj).read().splitlines() if l.strip()]
@@ -50,6 +51,12 @@ def test_run_sequence_end_to_end(dataset_dir, tmp_path):
     assert os.path.getsize(ply) > 1000
     head = open(ply, "rb").read(64)
     assert head.startswith(b"ply")
+
+    # Web viewer: one self-contained page with embedded map + both
+    # trajectory polylines (estimated + GT).
+    page = open(html).read()
+    assert "<canvas" in page and '"trajs": [{' in page
+    assert page.count('"pts"') == 2
 
     rows = [json.loads(l) for l in open(metrics).read().splitlines()]
     assert any("surfels" in r for r in rows)

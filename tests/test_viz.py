@@ -97,3 +97,83 @@ def test_offline_panels():
     assert l_img.shape == (rows, cols, 3)
     d_img = offline.depth_panel(depth_mm)
     assert d_img.shape == (rows, cols, 3)
+
+
+# ---------------------------------------------------------------------------
+# Web viewer (viz/webviewer.py): the Pangolin-window replacement.
+
+def _extract_data(html: str) -> dict:
+    """Pull the embedded DATA json back out of the generated page."""
+    import json
+
+    start = html.index("const DATA = ") + len("const DATA = ")
+    end = html.index(";\n", start)
+    return json.loads(html[start:end])
+
+
+def _decode(b64: str, dtype) -> np.ndarray:
+    import base64
+
+    return np.frombuffer(base64.b64decode(b64), dtype=dtype)
+
+
+def test_webviewer_embeds_points_and_trajectories():
+    from staticfusion_tpu.viz import webviewer
+
+    pts = np.random.RandomState(0).randn(100, 3).astype(np.float32)
+    col = np.random.RandomState(1).rand(100, 3).astype(np.float32)
+    traj = np.cumsum(np.ones((7, 3), np.float32) * 0.1, axis=0)
+    html = webviewer.build_html(pts, col, [(traj, (80, 255, 120))])
+    assert "<canvas" in html and "http" not in html.split("<script>")[1][:200]
+    data = _extract_data(html)
+    np.testing.assert_array_equal(
+        _decode(data["pos"], np.float32).reshape(-1, 3), pts)
+    got_col = _decode(data["col"], np.uint8).reshape(-1, 3)
+    np.testing.assert_array_equal(
+        got_col, np.clip(np.round(col * 255), 0, 255).astype(np.uint8))
+    assert len(data["trajs"]) == 1
+    np.testing.assert_array_equal(
+        _decode(data["trajs"][0]["pts"], np.float32).reshape(-1, 3), traj)
+
+
+def test_webviewer_save_html_applies_confidence_cut(tmp_path):
+    from staticfusion_tpu.viz import webviewer
+
+    smap, _, _ = _make_map()
+    conf = np.asarray(smap.conf)
+    valid = np.asarray(smap.valid)
+    thr = float(np.median(conf[valid]))
+    n_expect = int((valid & (conf > thr)).sum())
+
+    poses = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+    poses[:, 0, 3] = np.linspace(0, 1, 5)
+    path = tmp_path / "map.html"
+    webviewer.save_html(str(path), smap, thr, trajectory=poses)
+    data = _extract_data(path.read_text())
+    assert _decode(data["pos"], np.float32).size == n_expect * 3
+    # (M,4,4) poses reduce to their translations.
+    np.testing.assert_allclose(
+        _decode(data["trajs"][0]["pts"], np.float32).reshape(-1, 3),
+        poses[:, :3, 3])
+
+
+def test_webviewer_from_ply_roundtrip(tmp_path):
+    from staticfusion_tpu.io.ply import save_ply
+    from staticfusion_tpu.viz import webviewer
+
+    smap, _, _ = _make_map()
+    ply = tmp_path / "map.ply"
+    save_ply(str(ply), smap, 0.0)
+    pos, col = webviewer.load_ply(str(ply))
+
+    valid = np.asarray(smap.valid)
+    keep = valid & (np.asarray(smap.conf) > 0.0)
+    np.testing.assert_allclose(pos, np.asarray(smap.pos)[keep], atol=1e-6)
+    expect_col = np.clip(np.round(np.asarray(smap.color)[keep] * 255.0),
+                         0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(col, expect_col)
+
+    html = tmp_path / "map.html"
+    webviewer.main([str(ply), str(html), "--title", "t"])
+    data = _extract_data(html.read_text())
+    assert _decode(data["pos"], np.float32).size == pos.size
