@@ -107,7 +107,8 @@ int sf_decode_png(const char* path, uint8_t** out, int* width, int* height,
   const size_t stride = size_t(w) * bpp;              // bytes per row
   std::vector<uint8_t> raw(h * (stride + 1));
   uLongf raw_len = raw.size();
-  if (uncompress(raw.data(), &raw_len, idat.data(), idat.size()) != Z_OK)
+  if (uncompress(raw.data(), &raw_len, idat.data(), idat.size()) != Z_OK ||
+      raw_len != raw.size())  // short inflate = truncated image data
     return -7;
 
   // Unfilter in place into `img`.
