@@ -90,7 +90,8 @@ def main():
         image_level = n_levels - 1 - level_idx
         cur = cur_pyr[image_level]
         pred = pred_pyr[image_level]
-        onehot = cluster_onehot(clustering.labels[image_level])
+        labels = clustering.labels[image_level]
+        onehot = cluster_onehot(labels)
         rows = cur.depth.shape[0]
 
         timeit(f"warp_gather L{image_level} ({rows}r)",
@@ -104,7 +105,7 @@ def main():
             deriv = calculate_derivatives(inter, c, w)
             pw = compute_weights(deriv, inter.valid)
             prior = compute_seg_prior(oh, inter.null, deriv.ddt, config)
-            sys_ = build_jacobian(inter, deriv, pw, oh, config)
+            sys_ = build_jacobian(inter, deriv, pw, labels, oh, config)
             res = solve_irls(sys_, prior.b_prior, prior, reg_ata, config)
             return res.twist
 
@@ -116,8 +117,8 @@ def main():
             deriv = calculate_derivatives(inter, c, w)
             pw = compute_weights(deriv, inter.valid)
             prior = compute_seg_prior(oh, inter.null, deriv.ddt, config)
-            sys_ = build_jacobian(inter, deriv, pw, oh, config)
-            return sys_.A_c
+            sys_ = build_jacobian(inter, deriv, pw, labels, oh, config)
+            return sys_.A_cT
 
         timeit(f"deriv+jac only L{image_level}",
                deriv_only, cur, warped, onehot)
@@ -126,7 +127,7 @@ def main():
         deriv = calculate_derivatives(inter, cur, warped)
         pw = compute_weights(deriv, inter.valid)
         prior = compute_seg_prior(onehot, inter.null, deriv.ddt, config)
-        sys_ = build_jacobian(inter, deriv, pw, onehot, config)
+        sys_ = build_jacobian(inter, deriv, pw, labels, onehot, config)
 
         timeit(f"solve_irls only L{image_level}",
                lambda sy, s: solve_irls(

@@ -40,6 +40,11 @@ class SolverConfig:
     level_twist_convergence: float = 0.04  # early exit ||xi_level|| (FrontEnd.cpp:1130)
     kmeans_iters: int = 10               # KMeans.cpp:142
     kmeans_tol: float = 1e-2             # KMeans.cpp:227
+    fused_irls: bool = True              # one Pallas kernel per IRLS
+                                         # iteration on TPU (kernels/
+                                         # irls_pallas.py); the XLA
+                                         # formulation runs elsewhere and
+                                         # under GSPMD sharding
 
 
 @dataclasses.dataclass(frozen=True)

@@ -37,10 +37,11 @@ def cluster_onehot(labels: jnp.ndarray) -> jnp.ndarray:
 
 
 class JacobianSystem(NamedTuple):
-    A_c: jnp.ndarray   # (N, 6) photometric rows
+    A_cT: jnp.ndarray  # (6, N) photometric rows, lane-major
     B_c: jnp.ndarray   # (N,)
-    A_d: jnp.ndarray   # (N, 6) geometric rows
+    A_dT: jnp.ndarray  # (6, N) geometric rows, lane-major
     B_d: jnp.ndarray   # (N,)
+    labels: jnp.ndarray  # (N,) int32 cluster labels clipped to [0, K]
     onehot: jnp.ndarray  # (N, K+1) float cluster one-hot (col K = invalid)
     cluster_counts: jnp.ndarray  # (K,) pixels per cluster
     valid_count: jnp.ndarray  # scalar — number of valid pixels
@@ -54,9 +55,14 @@ class IRLSResult(NamedTuple):
 
 
 def build_jacobian(inter: InterCoords, deriv: Derivatives, w: PreWeights,
-                   onehot: jnp.ndarray, config: SFConfig) -> JacobianSystem:
+                   labels: jnp.ndarray, onehot: jnp.ndarray,
+                   config: SFConfig) -> JacobianSystem:
     """Photometric + geometric rows of the range/optical-flow constraint
-    (FrontEnd.cpp:537-586) for twist xi = (vx, vy, vz, wx, wy, wz)."""
+    (FrontEnd.cpp:537-586) for twist xi = (vx, vy, vz, wx, wy, wz).
+
+    Rows are built lane-major (6, N): the per-pixel axis stays the 128-lane
+    axis through every downstream matmul, and the fused TPU kernel
+    (kernels/irls_pallas.py) consumes it without a relayout."""
     rows_i, cols_i = inter.depth.shape
     f_inv = float(cols_i) / (2.0 * math.tan(0.5 * config.camera.fovh))
 
@@ -74,35 +80,49 @@ def build_jacobian(inter: InterCoords, deriv: Derivatives, w: PreWeights,
         a3 = tw * (g * y + dy * inv_d * y * x + dz * (y * y * inv_d + d))
         a4 = tw * (-g * x - dy * (x * x * inv_d + d) - dz * inv_d * y * x)
         a5 = tw * (dy * y - dz * x)
-        return jnp.stack([a0, a1, a2, a3, a4, a5], axis=-1).reshape(-1, 6)
+        return jnp.stack([a0.ravel(), a1.ravel(), a2.ravel(),
+                          a3.ravel(), a4.ravel(), a5.ravel()], axis=0)
 
     twc = w.weights_c * config.solver.k_photometric_res
     twd = w.weights_d
-    A_c = rows6(deriv.dcu, deriv.dcv, twc, geometric=False)
+    A_cT = rows6(deriv.dcu, deriv.dcv, twc, geometric=False)
     B_c = (twc * (-deriv.dct)).ravel()
-    A_d = rows6(deriv.ddu, deriv.ddv, twd, geometric=True)
+    A_dT = rows6(deriv.ddu, deriv.ddv, twd, geometric=True)
     B_d = (twd * (-deriv.ddt)).ravel()
 
     return JacobianSystem(
-        A_c=A_c, B_c=B_c, A_d=A_d, B_d=B_d,
+        A_cT=A_cT, B_c=B_c, A_dT=A_dT, B_d=B_d,
+        labels=jnp.clip(labels.ravel(), 0, NUM_CLUSTERS).astype(jnp.int32),
         onehot=onehot,
         cluster_counts=jnp.sum(onehot[:, :NUM_CLUSTERS], axis=0),
         valid_count=jnp.sum(inter.valid.astype(jnp.float32)),
     )
 
 
-def _normal_equations(A_c, B_c, A_d, B_d, wc, wd):
+def _normal_equations(A_cT, B_c, A_dT, B_d, wc, wd):
     """AtA, AtB with per-row IRLS weights (already including b_segm)."""
-    Awc = A_c * wc[:, None]
-    Awd = A_d * wd[:, None]
-    AtA = (jnp.einsum("ni,nj->ij", Awc, Awc, preferred_element_type=jnp.float32)
-           + jnp.einsum("ni,nj->ij", Awd, Awd, preferred_element_type=jnp.float32))
-    AtB = Awc.T @ (wc * B_c) + Awd.T @ (wd * B_d)
+    Awc = A_cT * wc[None, :]
+    Awd = A_dT * wd[None, :]
+    AtA = (jnp.einsum("in,jn->ij", Awc, Awc, preferred_element_type=jnp.float32)
+           + jnp.einsum("in,jn->ij", Awd, Awd, preferred_element_type=jnp.float32))
+    AtB = Awc @ (wc * B_c) + Awd @ (wd * B_d)
     return AtA, AtB
 
 
 def solve_irls(sys: JacobianSystem, b_segm0: jnp.ndarray, prior: SegPrior,
                reg_ata: jnp.ndarray, config: SFConfig, kb=None) -> IRLSResult:
+    """Backend dispatch: the fused Pallas iteration kernel on TPU
+    (kernels/irls_pallas.py — one kernel launch per IRLS iteration), the
+    XLA op-soup formulation elsewhere (CPU tests, GSPMD-sharded solves)."""
+    if config.solver.fused_irls and jax.default_backend() == "tpu":
+        from staticfusion_tpu.kernels.irls_pallas import solve_irls_fused
+        return solve_irls_fused(sys, b_segm0, prior, reg_ata, config, kb=kb)
+    return solve_irls_xla(sys, b_segm0, prior, reg_ata, config, kb=kb)
+
+
+def solve_irls_xla(sys: JacobianSystem, b_segm0: jnp.ndarray, prior: SegPrior,
+                   reg_ata: jnp.ndarray, config: SFConfig,
+                   kb=None) -> IRLSResult:
     """The coupled IRLS loop (FrontEnd.cpp:593-689)."""
     s = config.solver
     k = NUM_CLUSTERS
@@ -128,11 +148,12 @@ def solve_irls(sys: JacobianSystem, b_segm0: jnp.ndarray, prior: SegPrior,
         wc = b_weight * jnp.sqrt(1.0 / (1.0 + (res_c * inv_c) ** 2))
         wd = b_weight * jnp.sqrt(1.0 / (1.0 + (res_d * inv_c) ** 2))
 
-        AtA, AtB = _normal_equations(sys.A_c, sys.B_c, sys.A_d, sys.B_d, wc, wd)
+        AtA, AtB = _normal_equations(sys.A_cT, sys.B_c, sys.A_dT, sys.B_d,
+                                     wc, wd)
         new_var = spd_solve_fast(AtA, AtB, ridge=1e-12)
 
-        new_res_c = sys.A_c @ new_var - sys.B_c
-        new_res_d = sys.A_d @ new_var - sys.B_d
+        new_res_c = new_var @ sys.A_cT - sys.B_c
+        new_res_d = new_var @ sys.A_dT - sys.B_d
 
         # Per-cluster average residuals (FrontEnd.cpp:650-667); the +1 pixel
         # and /2 factors replicate the reference's accounting exactly.

@@ -43,14 +43,15 @@ class SolverResult(NamedTuple):
 
 
 def _solve_at_level(cur: PyramidLevel, warped: WarpedImages,
-                    onehot: jnp.ndarray, b_segm, reg_ata, level_idx: int,
+                    labels: jnp.ndarray, onehot: jnp.ndarray, b_segm,
+                    reg_ata, level_idx: int,
                     T_odo, twist_old, config: SFConfig, kb=None):
     """One warp-free solver iteration at a level; returns updated state."""
     inter = calculate_coords(cur, warped)
     deriv = calculate_derivatives(inter, cur, warped)
     w = compute_weights(deriv, inter.valid)
     prior = compute_seg_prior(onehot, inter.null, deriv.ddt, config)
-    sys = build_jacobian(inter, deriv, w, onehot, config)
+    sys = build_jacobian(inter, deriv, w, labels, onehot, config)
 
     # At the coarsest level the segmentation restarts from the prior
     # (FrontEnd.cpp:604); later levels refine the carried solution.
@@ -83,7 +84,8 @@ def run_solver(cur_pyr: Pyramid, pred_pyr: Pyramid, twist_old: jnp.ndarray,
         image_level = n_levels - 1 - level_idx
         cur = cur_pyr[image_level]
         pred = pred_pyr[image_level]
-        onehot = cluster_onehot(clustering.labels[image_level])
+        labels = clustering.labels[image_level]
+        onehot = cluster_onehot(labels)
         done = jnp.asarray(False)
 
         def iteration(carry, first: bool):
@@ -96,8 +98,8 @@ def run_solver(cur_pyr: Pyramid, pred_pyr: Pyramid, twist_old: jnp.ndarray,
             else:
                 warped = warp_images_gather(pred, cur.depth, T_odo, fovh)
             T_new, b_new, converged, ddt_new = _solve_at_level(
-                cur, warped, onehot, b_segm, reg_ata, level_idx, T_odo,
-                twist_old, config, kb=kb)
+                cur, warped, labels, onehot, b_segm, reg_ata, level_idx,
+                T_odo, twist_old, config, kb=kb)
             # Early exit (FrontEnd.cpp:1130-1131) is a real while-loop break:
             # the converged iteration's values are kept.
             return (k + 1, T_new, b_new, converged, ddt_new)

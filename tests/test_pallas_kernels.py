@@ -30,9 +30,11 @@ def _depth_image(rng, rows, cols):
     return np.round(d).astype(np.float32)            # u16-valued, like PNGs
 
 
-# (24, 64) exercises a multi-step grid; (16, 384) the wide-image block=8
-# branch (the VGA scoped-VMEM fix); (40, 320) the odd-divisor path.
-@pytest.mark.parametrize("rows,cols", [(24, 64), (16, 384), (40, 320)])
+# (24, 64) exercises a multi-step grid; (16, 384) and (48, 640) the
+# wide-image lane-tiled 2-D grid (the VGA scoped-VMEM fix), single- and
+# multi-row-block; (40, 320) the odd-divisor single-tile path.
+@pytest.mark.parametrize("rows,cols", [(24, 64), (16, 384), (40, 320),
+                                       (48, 640)])
 def test_bilateral_kernel_matches_xla_path(rows, cols):
     rng = np.random.default_rng(rows * 1000 + cols)
     d = jnp.asarray(_depth_image(rng, rows, cols))
@@ -97,3 +99,91 @@ def test_spd_inverse_kernel(n):
                                                    interpret=True))
     ident = got @ M
     assert np.abs(ident - np.eye(n)).max() < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Fused IRLS iteration kernel (kernels/irls_pallas.py) vs the XLA oracle
+# (solver/irls.py solve_irls_xla).
+
+def _random_system(rng, n):
+    from staticfusion_tpu.config import NUM_CLUSTERS, SFConfig
+    from staticfusion_tpu.solver.irls import JacobianSystem, cluster_onehot
+    from staticfusion_tpu.solver.segmentation import (SegPrior,
+                                                      reg_normal_matrix)
+
+    k = NUM_CLUSTERS
+    labels = rng.integers(0, k + 1, n)          # k = invalid
+    valid = labels < k
+    # Plausible magnitudes: Jacobian rows O(1), residuals O(0.01-0.1).
+    A_cT = (0.5 * rng.standard_normal((6, n)) * valid).astype(np.float32)
+    A_dT = (0.5 * rng.standard_normal((6, n)) * valid).astype(np.float32)
+    B_c = (0.05 * rng.standard_normal(n) * valid).astype(np.float32)
+    B_d = (0.05 * rng.standard_normal(n) * valid).astype(np.float32)
+    onehot = cluster_onehot(jnp.asarray(labels))
+    sys = JacobianSystem(
+        A_cT=jnp.asarray(A_cT), B_c=jnp.asarray(B_c),
+        A_dT=jnp.asarray(A_dT), B_d=jnp.asarray(B_d),
+        labels=jnp.asarray(labels, jnp.int32), onehot=onehot,
+        cluster_counts=jnp.sum(onehot[:, :k], axis=0),
+        valid_count=jnp.asarray(float(valid.sum())))
+    prior = SegPrior(
+        b_prior=jnp.asarray(rng.uniform(-1, 2, k).astype(np.float32)),
+        lambda_t_w=jnp.asarray(rng.uniform(0, 1, k).astype(np.float32)))
+    conn = rng.random((k, k)) < 0.2
+    conn = jnp.asarray(conn | conn.T)
+    cfg = SFConfig()
+    reg = reg_normal_matrix(conn, cfg.solver.lambda_reg)
+    return sys, prior, reg, cfg
+
+
+@pytest.mark.parametrize("n,max_tile", [(700, None), (1500, 256)])
+def test_fused_irls_matches_xla_path(n, max_tile, monkeypatch):
+    """The whole fused solve (while loop + kernel) must reproduce the XLA
+    formulation: twist, b_segm, aver_res, est_cov.  `max_tile=256` forces
+    the multi-tile accumulation path (and non-multiple-of-128 padding)."""
+    from staticfusion_tpu.kernels import irls_pallas
+    from staticfusion_tpu.solver.irls import solve_irls_xla
+
+    if max_tile is not None:
+        monkeypatch.setattr(irls_pallas, "_MAX_TILE", max_tile)
+
+    rng = np.random.default_rng(n)
+    sys, prior, reg, cfg = _random_system(rng, n)
+    b0 = jnp.asarray(rng.uniform(0, 1, 24).astype(np.float32))
+
+    want = solve_irls_xla(sys, b0, prior, reg, cfg)
+    got = irls_pallas.solve_irls_fused(sys, b0, prior, reg, cfg,
+                                       interpret=True)
+
+    np.testing.assert_allclose(got.twist, want.twist, rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(got.b_segm, want.b_segm, rtol=2e-4,
+                               atol=2e-5)
+    np.testing.assert_allclose(got.aver_res, want.aver_res, rtol=1e-5)
+    np.testing.assert_allclose(got.est_cov, want.est_cov, rtol=2e-3,
+                               atol=1e-6)
+
+
+def test_fused_irls_traced_kb(monkeypatch):
+    """kb is scheduled by the apps (warm-up 1.05 vs steady 1.5,
+    StaticFusion-datasets.cpp:156-165) so it reaches the kernel traced."""
+    from staticfusion_tpu.kernels import irls_pallas
+    from staticfusion_tpu.solver.irls import solve_irls_xla
+
+    rng = np.random.default_rng(9)
+    sys, prior, reg, cfg = _random_system(rng, 600)
+    b0 = jnp.full((24,), 0.5, jnp.float32)
+
+    import jax
+
+    @jax.jit
+    def fused(kb):
+        return irls_pallas.solve_irls_fused(sys, b0, prior, reg, cfg,
+                                            kb=kb, interpret=True)
+
+    for kb in (1.05, 1.5):
+        want = solve_irls_xla(sys, b0, prior, reg, cfg, kb=jnp.asarray(kb))
+        got = fused(jnp.asarray(kb))
+        np.testing.assert_allclose(got.b_segm, want.b_segm, rtol=2e-4,
+                                   atol=2e-5)
+        np.testing.assert_allclose(got.twist, want.twist, rtol=2e-4,
+                                   atol=2e-6)
