@@ -116,6 +116,12 @@ def main():
         ("warp_images_gather", no_warp, [warp_mod, runsolver]),
         ("cluster_frame", zeroed(clustering_mod.cluster_frame),
          [clustering_mod, runsolver]),
+        ("initialize_centers", zeroed(clustering_mod.initialize_centers),
+         [clustering_mod]),
+        ("lloyd_iterate", zeroed(clustering_mod.lloyd_iterate),
+         [clustering_mod]),
+        ("compute_connectivity", zeroed(clustering_mod.compute_connectivity),
+         [clustering_mod]),
         ("predict_indices", zeroed(indexmap.predict_indices),
          [indexmap, backend]),
         ("associate_texels", zeroed(association.associate_texels),
