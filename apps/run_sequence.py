@@ -29,7 +29,12 @@ def main(argv=None):
     ap.add_argument("--viz", default=None,
                     help="directory for per-frame viz panels")
     ap.add_argument("--gt", default=None, help="groundtruth.txt for ATE")
-    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--checkpoint", default=None,
+                    help="write the final SlamState (npz) here")
+    ap.add_argument("--resume", default=None,
+                    help="resume from a checkpoint written by --checkpoint "
+                         "(config must match; trajectory covers only the "
+                         "resumed frames)")
     ap.add_argument("--profile", default=None,
                     help="directory for a jax.profiler trace of the run")
     ap.add_argument("--loop-closure", action="store_true",
@@ -60,6 +65,12 @@ def main(argv=None):
                                           height=480 // args.res_factor),
                       loop=LoopClosureConfig(enabled=args.loop_closure))
     slam = SlamSystem(config, initial_pose=seq.initial_gt_pose())
+    if args.resume:
+        from staticfusion_tpu.utils.checkpoint import load_state
+
+        slam.state = load_state(args.resume, config)
+        print(f"resumed from {args.resume} "
+              f"(tick={int(slam.state.tick)})")
     logger = MetricsLogger(args.metrics, echo=args.metrics is None)
     profile_ctx = (jax.profiler.trace(args.profile) if args.profile
                    else contextlib.nullcontext())
@@ -95,7 +106,7 @@ def main(argv=None):
     if args.checkpoint:
         from staticfusion_tpu.utils.checkpoint import save_state
 
-        save_state(args.checkpoint, slam.state)
+        save_state(args.checkpoint, slam.state, config)
         print(f"wrote checkpoint to {args.checkpoint}")
     logger.close()
 

@@ -116,12 +116,15 @@ def main():
         ("warp_images_gather", no_warp, [warp_mod, runsolver]),
         ("cluster_frame", zeroed(clustering_mod.cluster_frame),
          [clustering_mod, runsolver]),
-        ("initialize_centers", zeroed(clustering_mod.initialize_centers),
-         [clustering_mod]),
-        ("lloyd_iterate", zeroed(clustering_mod.lloyd_iterate),
-         [clustering_mod]),
-        ("compute_connectivity", zeroed(clustering_mod.compute_connectivity),
-         [clustering_mod]),
+        # The next three are a drill-down WITHIN cluster_frame (sub-stages of
+        # it): their marginals overlap cluster_frame's and must not be summed
+        # with it.
+        ("  cluster_frame/initialize_centers",
+         zeroed(clustering_mod.initialize_centers), [clustering_mod]),
+        ("  cluster_frame/lloyd_iterate",
+         zeroed(clustering_mod.lloyd_iterate), [clustering_mod]),
+        ("  cluster_frame/compute_connectivity",
+         zeroed(clustering_mod.compute_connectivity), [clustering_mod]),
         ("predict_indices", zeroed(indexmap.predict_indices),
          [indexmap, backend]),
         ("associate_texels", zeroed(association.associate_texels),
@@ -131,14 +134,17 @@ def main():
     only = os.environ.get("SF_ABLATE_ONLY")
     if only:
         wanted = set(only.split(","))
-        ablations = [a for a in ablations if a[0] in wanted]
+        ablations = [a for a in ablations
+                     if a[0].strip().split("/")[-1] in wanted]
 
-    for name, stub, mods in ablations:
+    for label, stub, mods in ablations:
+        name = label.strip().split("/")[-1]  # attr name (label may be
+                                             # indented/grouped for display)
         saved = [(m, getattr(m, name)) for m in mods if hasattr(m, name)]
         for m, _ in saved:
             setattr(m, name, stub)
         try:
-            dt = timeit(f"- {name}", config)
+            dt = timeit(f"- {label}", config)
             print(f"    marginal: {(base-dt)*1000:6.2f} ms", flush=True)
         finally:
             for m, f in saved:

@@ -34,6 +34,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from staticfusion_tpu.config import SFConfig
@@ -42,10 +43,19 @@ from staticfusion_tpu.geometry.se3 import se3_inverse
 
 INT_MAX = 2**31 - 1
 
+# Packed (depth << id_bits | id) keys keep the render to ONE scatter, but
+# depth gets only (31 - id_bits) bits.  Up to 21 id bits (2M surfels) that is
+# >= 10 depth bits ~ 4.4 mm buckets over 4.5 m — finer than the sensor.
+# Above it (e.g. the reference-scale 2^23 capacity, GlobalModel.cpp:21-22,
+# where packing would leave 256 levels ~ 1.8 cm buckets) the render switches
+# to a two-pass z-buffer with EXACT float32 depth ordering (see
+# render_texel_images).
+PACKED_MAX_ID_BITS = 21
+
 
 def id_bits_for(capacity: int) -> int:
     b = max(1, math.ceil(math.log2(capacity + 1)))
-    assert b <= 23, "capacity too large for packed z-buffer keys"
+    assert b < 31, "capacity too large for int32 surfel ids"
     return b
 
 
@@ -136,25 +146,43 @@ def render_texel_images(smap: SurfelMap, local: SurfelsLocal,
     S = rows4 * cols4
 
     ib = id_bits_for(smap.capacity)
-    dlevels = (1 << (31 - ib)) - 1
 
     z = local.pos[:, 2]
     ok = render_cull(smap, local, tick, config, conf_threshold, z_min,
                      time_delta)
-
-    qd = jnp.clip((z * (dlevels / fus.depth_max)).astype(jnp.int32),
-                  0, dlevels)
     ids = jnp.arange(smap.capacity, dtype=jnp.int32)
-    key = (qd << ib) | ids
 
     # Invalid sources get an out-of-bounds index and mode="drop": XLA skips
     # them entirely, where a sacrificial in-bounds slot would serialize the
     # whole duplicate group (~40% of the scatter cost at steady state).
     flat = jnp.where(ok, local.v4 * cols4 + local.u4, S)
-    fb = jnp.full((S,), INT_MAX, jnp.int32).at[flat].min(key, mode="drop")
 
-    has = fb != INT_MAX
-    winner = jnp.where(has, fb & ((1 << ib) - 1), INT_MAX)
+    if ib <= PACKED_MAX_ID_BITS:
+        # One scatter-min on packed (quantized depth, id) keys.
+        dlevels = (1 << (31 - ib)) - 1
+        qd = jnp.clip((z * (dlevels / fus.depth_max)).astype(jnp.int32),
+                      0, dlevels)
+        key = (qd << ib) | ids
+        fb = jnp.full((S,), INT_MAX, jnp.int32).at[flat].min(key, mode="drop")
+        has = fb != INT_MAX
+        winner = jnp.where(has, fb & ((1 << ib) - 1), INT_MAX)
+    else:
+        # Large-capacity path: two scatter-mins with EXACT depth ordering.
+        # Positive float32 bit patterns are order-isomorphic to int32, so
+        # pass 1 min-scatters raw depth bits (culled surfels all have z > 0);
+        # pass 2 min-scatters ids restricted to surfels that match their
+        # texel's winning depth bit-exactly — deterministic smaller-id
+        # tie-break, same semantics as the packed path.
+        zq = jax.lax.bitcast_convert_type(z.astype(jnp.float32), jnp.int32)
+        zbuf = jnp.full((S,), INT_MAX, jnp.int32).at[flat].min(
+            zq, mode="drop")
+        win_z = zbuf.at[flat].get(mode="fill", fill_value=INT_MAX)
+        flat2 = jnp.where(ok & (zq == win_z), flat, S)
+        fb = jnp.full((S,), INT_MAX, jnp.int32).at[flat2].min(
+            ids, mode="drop")
+        has = fb != INT_MAX
+        winner = fb
+
     safe = jnp.where(has, winner, 0)
 
     # One (14, capacity) gather instead of 14: TPU gather cost is dominated

@@ -39,6 +39,7 @@ class SlamSystem:
                              if initial_pose is None else initial_pose)
         self.times: List[float] = []
         self.poses: List[np.ndarray] = []  # device arrays until materialized
+        self.ddt_sums: List = []           # per-frame sum(ddt), device scalars
         self._pending_metrics: List = []
         self.frame_seconds: List[float] = []
         # Map tiering: every `resize_check_interval` frames, read the live
@@ -102,6 +103,7 @@ class SlamSystem:
         # axon tunnel, catastrophic); everything is fetched lazily.
         self.times.append(timestamp)
         self.poses.append(out.curr_pose)
+        self.ddt_sums.append(out.ddt_sum)
         self.frame_seconds.append(time.perf_counter() - t0)
         self._pending_metrics.append((timestamp, out))
         return out
@@ -164,8 +166,16 @@ class SlamSystem:
             jax.block_until_ready(self.state)
 
     def write_trajectory(self, path: str) -> None:
+        """TUM-format export.  Frames whose depth-residual sum is exactly
+        zero are skipped, matching the reference's writeTrajectoryFile gate
+        (Utils/Datasets.cpp:252-266: `if (abs(res.sum()) == 0) return;` —
+        a zero ddt image means the solver saw a repeated/empty depth frame)."""
         self._materialize_poses()
-        traj_io.write_tum_trajectory(path, self.times, self.poses)
+        ddt = [abs(float(d)) for d in jax.device_get(self.ddt_sums)]
+        keep = [i for i, d in enumerate(ddt) if d != 0.0]
+        traj_io.write_tum_trajectory(path,
+                                     [self.times[i] for i in keep],
+                                     [self.poses[i] for i in keep])
 
     def ate(self, gt_times: np.ndarray, gt_poses: np.ndarray,
             max_dt: float = 0.05) -> float:

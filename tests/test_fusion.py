@@ -366,3 +366,56 @@ def test_compact_map_grow_tier():
     assert not bool(jnp.any(big.valid[count:]))
     src = np.asarray(smap.pos)[np.asarray(smap.valid)]
     np.testing.assert_allclose(np.asarray(big.pos)[:count], src)
+
+
+def test_large_capacity_render_exact_depth():
+    """At reference-scale capacity (2^23 surfels, GlobalModel.cpp:21-22) the
+    packed int32 z-buffer key would leave only 8 depth bits (~1.8 cm buckets
+    over 4.5 m); render_texel_images must switch to the exact two-pass path
+    and still pick the truly nearest surfel for sub-bucket depth gaps."""
+    from staticfusion_tpu.fusion import texelmap
+
+    cap = 1 << 23
+    assert texelmap.id_bits_for(cap) > texelmap.PACKED_MAX_ID_BITS
+    cam = CONFIG.camera
+    smap = surfels.empty_map(cap)
+
+    # Three surfels projecting onto the SAME pixel: ids chosen so the nearest
+    # surfel has the LARGEST id (a coarse-quantized or id-tie-broken buffer
+    # would pick a wrong one), and depth gaps of 1 mm << the 1.8 cm bucket.
+    u, v = 40, 30
+    depths = np.array([2.002, 2.001, 2.000], np.float32)
+    ids = np.array([100, 2_000_000, 6_000_000])
+    x = (u + 0.5 - cam.cx) * depths / cam.fx
+    y = (v + 0.5 - cam.cy) * depths / cam.fy
+    pos = np.stack([x, y, depths], axis=1)
+    smap = smap._replace(
+        pos=smap.pos.at[ids].set(pos),
+        normal=smap.normal.at[ids].set(np.array([0.0, 0.0, 1.0])),
+        radius=smap.radius.at[ids].set(0.01),
+        conf=smap.conf.at[ids].set(0.5),
+        hist=smap.hist.at[ids].set(1.0),
+        init_time=smap.init_time.at[ids].set(1.0),
+        last_time=smap.last_time.at[ids].set(1.0),
+        valid=smap.valid.at[ids].set(True),
+        used=jnp.asarray(6_000_001, jnp.int32))
+
+    local = texelmap.project_surfels(smap, jnp.eye(4), CONFIG)
+    tex = texelmap.render_texel_images(smap, local,
+                                       jnp.asarray(2, jnp.int32), CONFIG)
+    F = CONFIG.fusion.index_factor
+    assert int(tex.idx[v * F, u * F]) == 6_000_000
+    np.testing.assert_allclose(float(tex.z[v * F, u * F]), 2.000, atol=1e-6)
+    # Exact depth tie at another pixel -> deterministic smaller-id winner.
+    u2, v2 = 10, 10
+    tie_ids = np.array([4_000_000, 3_000_000])
+    x2 = (u2 + 0.5 - cam.cx) * 1.5 / cam.fx
+    y2 = (v2 + 0.5 - cam.cy) * 1.5 / cam.fy
+    smap = smap._replace(
+        pos=smap.pos.at[tie_ids].set(np.array([x2, y2, 1.5], np.float32)),
+        last_time=smap.last_time.at[tie_ids].set(1.0),
+        valid=smap.valid.at[tie_ids].set(True))
+    local = texelmap.project_surfels(smap, jnp.eye(4), CONFIG)
+    tex = texelmap.render_texel_images(smap, local,
+                                       jnp.asarray(2, jnp.int32), CONFIG)
+    assert int(tex.idx[v2 * F, u2 * F]) == 3_000_000

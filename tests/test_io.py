@@ -143,3 +143,27 @@ def test_metrics_logger(tmp_path):
     lines = [json.loads(l) for l in open(path)]
     assert len(lines) == 2 and lines[1]["fps"] == 20.0
     assert log.summary()["fps"]["mean"] == 15.0
+
+
+def test_write_trajectory_ddt_gate(tmp_path):
+    """Frames whose depth-residual sum is exactly zero are skipped on export,
+    matching the reference's writeTrajectoryFile gate
+    (Utils/Datasets.cpp:252-266)."""
+    import jax.numpy as jnp
+
+    from staticfusion_tpu.io.trajectory import read_tum_trajectory
+    from staticfusion_tpu.pipeline.system import SlamSystem
+
+    slam = SlamSystem(SFConfig(camera=CameraConfig(width=80, height=60)))
+    poses = [np.eye(4, dtype=np.float32) for _ in range(4)]
+    for i, p in enumerate(poses):
+        p[0, 3] = i  # distinguishable
+    slam.times = [0.0, 1.0, 2.0, 3.0]
+    slam.poses = [jnp.asarray(p) for p in poses]
+    slam.ddt_sums = [jnp.asarray(v) for v in (0.5, 0.0, -0.3, 0.0)]
+
+    path = str(tmp_path / "traj.txt")
+    slam.write_trajectory(path)
+    t, p = read_tum_trajectory(path)
+    np.testing.assert_allclose(t, [0.0, 2.0])
+    np.testing.assert_allclose(p[:, 0, 3], [0.0, 2.0])
