@@ -55,16 +55,28 @@ def main(argv=None):
     from staticfusion_tpu.pipeline.system import SlamSystem
     from staticfusion_tpu.utils.metrics import MetricsLogger
 
-    seq = tum.TumSequence(args.dataset_dir, args.assoc,
-                          res_factor=args.res_factor,
-                          depth_scale=args.depth_scale,
-                          gt_file=args.gt or "groundtruth.txt")
+    is_rawlog = args.dataset_dir.endswith(".rawlog")
+    if is_rawlog:
+        from staticfusion_tpu.io import rawlog
+
+        seq = rawlog.RawlogSequence(args.dataset_dir,
+                                    res_factor=args.res_factor)
+    else:
+        seq = tum.TumSequence(args.dataset_dir, args.assoc,
+                              res_factor=args.res_factor,
+                              depth_scale=args.depth_scale,
+                              gt_file=args.gt or "groundtruth.txt")
     # Sensor-native 640x480 divided by res_factor (the reference's
     # `res_factor` constant in each main; 2 -> QVGA, 1 -> VGA).
     config = SFConfig(camera=CameraConfig(width=640 // args.res_factor,
                                           height=480 // args.res_factor),
                       loop=LoopClosureConfig(enabled=args.loop_closure))
     slam = SlamSystem(config, initial_pose=seq.initial_gt_pose())
+    if is_rawlog:
+        # Exported poses land in the raw TUM GT frame (Datasets.cpp:257).
+        from staticfusion_tpu.io.rawlog import ROTATE_BY_Z
+
+        slam.pose_postmultiply = ROTATE_BY_Z
     if args.resume:
         from staticfusion_tpu.utils.checkpoint import load_state
 

@@ -1,0 +1,101 @@
+"""Accuracy benchmark on the adversarial synthetic suite.
+
+Runs the full pipeline at QVGA over the three adversarial profiles
+(walk_xyz: 30-45% articulated dynamic coverage; fast_rot: ~1.7 deg/frame
+yaw; static: sensor noise only) and reports ATE RMSE, RPE, segmentation
+IoU, and fps — at index_factor 1 (production default) and 4 (the
+reference's IndexMap FACTOR, IndexMap.cpp:21).  This is the committed
+evidence behind the fidelity claim in texelmap.py and PARITY.md.
+
+  python scripts/accuracy_bench.py [--frames 40] [--profiles walk_xyz,...]
+      [--factors 1,4] [--cpu] [--json out.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_one(profile: str, factor: int, n_frames: int, res_factor: int = 2):
+    import numpy as np
+
+    from staticfusion_tpu.config import CameraConfig, FusionConfig, SFConfig
+    from staticfusion_tpu.io import adversarial as adv
+    from staticfusion_tpu.io.trajectory import rpe_rmse
+    from staticfusion_tpu.pipeline.system import SlamSystem
+
+    config = SFConfig(camera=CameraConfig(width=640 // res_factor,
+                                          height=480 // res_factor),
+                      fusion=FusionConfig(capacity=1 << 18,
+                                          index_factor=factor))
+    frames, gt = adv.make_adversarial_sequence(config, n_frames, profile)
+
+    slam = SlamSystem(config)
+    ious = []
+    t_total = 0.0
+    for i, (rgb, depth_mm, dyn) in enumerate(frames):
+        t0 = time.perf_counter()
+        out = slam.process(rgb, depth_mm, i / 30.0)
+        if out is not None:
+            out.curr_pose.block_until_ready()
+        t_frame = time.perf_counter() - t0
+        if i >= 2:           # skip bootstrap + first steady compile
+            t_total += t_frame
+        # IoU once the temporal ring has filled (rescue active) and the
+        # walker is on screen.
+        if out is not None and i >= config.buffer_length and dyn.sum() > 50:
+            ious.append(adv.dynamic_iou(np.asarray(out.static_prob), dyn,
+                                        depth_mm))
+
+    times = np.arange(n_frames) / 30.0
+    ate = slam.ate(times, gt)
+    slam._materialize_poses()
+    rpe = rpe_rmse(np.asarray(slam.times), np.stack(slam.poses), times, gt)
+    fps = (n_frames - 2) / t_total if t_total > 0 else float("nan")
+    return {
+        "profile": profile, "index_factor": factor, "frames": n_frames,
+        "ate_rmse_m": round(ate, 5), "rpe_rmse_m": round(rpe, 5),
+        "seg_iou": round(float(np.mean(ious)), 4) if ious else None,
+        "fps": round(fps, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--profiles", default="walk_xyz,fast_rot,static")
+    ap.add_argument("--factors", default="1,4")
+    ap.add_argument("--res-factor", type=int, default=2)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    rows = []
+    for factor in [int(f) for f in args.factors.split(",")]:
+        for profile in args.profiles.split(","):
+            r = run_one(profile, factor, args.frames, args.res_factor)
+            rows.append(r)
+            print(json.dumps(r), flush=True)
+
+    print("\n| profile | F | ATE RMSE (m) | RPE (m) | seg IoU | fps |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['profile']} | {r['index_factor']} | {r['ate_rmse_m']} "
+              f"| {r['rpe_rmse_m']} | {r['seg_iou']} | {r['fps']} |")
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rows, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

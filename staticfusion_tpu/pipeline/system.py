@@ -40,6 +40,11 @@ class SlamSystem:
         self.times: List[float] = []
         self.poses: List[np.ndarray] = []  # device arrays until materialized
         self.ddt_sums: List = []           # per-frame sum(ddt), device scalars
+        # Optional constant post-multiplied into every exported/evaluated
+        # pose: rawlog runs set this to ROTATE_BY_Z so trajectories land in
+        # the raw TUM ground-truth frame (Utils/Datasets.cpp:257; see
+        # io/rawlog.py for why the pair cancels).
+        self.pose_postmultiply: Optional[np.ndarray] = None
         self._pending_metrics: List = []
         self.frame_seconds: List[float] = []
         # Map tiering: every `resize_check_interval` frames, read the live
@@ -160,6 +165,10 @@ class SlamSystem:
         import jax
 
         self.poses = [np.asarray(p) for p in jax.device_get(self.poses)]
+        if self.pose_postmultiply is not None:
+            M = np.asarray(self.pose_postmultiply, np.float32)
+            self.poses = [p @ M for p in self.poses]
+            self.pose_postmultiply = None  # applied exactly once
 
     def block(self):
         if self.state is not None:

@@ -73,3 +73,41 @@ def test_run_sequence_loop_closure_flag(dataset_dir, tmp_path):
     main([dataset_dir, "--res-factor", "4", "--max-frames", "4",
           "--depth-scale", "5000", "--out", traj, "--loop-closure"])
     assert os.path.exists(traj)
+
+
+def test_run_sequence_rawlog_end_to_end(tmp_path):
+    """run_sequence consumes an MRPT-style rawlog: the 180-degree stored
+    orientation, rotateByZ GT anchoring, and the rotateByZ export
+    post-multiplication must cancel so ATE against RAW TUM ground truth is
+    small (Utils/Datasets.cpp:58-60,176-193,225,257)."""
+    import jax.numpy as jnp
+
+    from apps.run_sequence import main
+    from staticfusion_tpu.config import CameraConfig, SFConfig
+    from staticfusion_tpu.io import rawlog, synthetic
+
+    # Render at sensor-native VGA; the app's --res-factor 4 downsamples to
+    # the 160x120 the rest of the suite compiles for (FOV-derived
+    # intrinsics scale consistently with resolution).
+    cfg = SFConfig(camera=CameraConfig(width=640, height=480))
+    twist = np.array([0.004, -0.002, 0.006, 0.0015, -0.001, 0.002],
+                     np.float32)
+    frames, gt = synthetic.make_sequence(cfg, 8, twist)
+    ts = [1341840000.0 + i / 30.0 for i in range(8)]
+    path = str(tmp_path / "seq.rawlog")
+    rawlog.write_rawlog(path, [(r, d / 1000.0) for r, d, _ in frames], ts)
+    with open(tmp_path / "groundtruth.txt", "w") as f:
+        from staticfusion_tpu.io.trajectory import pose_to_tum_line
+
+        f.write("# fixture\n")
+        for t, p in zip(ts, gt):
+            f.write(pose_to_tum_line(t, p) + "\n")
+
+    traj = str(tmp_path / "traj.txt")
+    main([path, "--res-factor", "4", "--out", traj])
+    from staticfusion_tpu.io.trajectory import (ate_rmse,
+                                                read_tum_trajectory)
+
+    t_est, p_est = read_tum_trajectory(traj)
+    ate = ate_rmse(t_est, p_est, np.asarray(ts), gt)
+    assert ate < 0.02, f"rawlog-run ATE {ate} vs raw GT"

@@ -167,3 +167,100 @@ def test_write_trajectory_ddt_gate(tmp_path):
     t, p = read_tum_trajectory(path)
     np.testing.assert_allclose(t, [0.0, 2.0])
     np.testing.assert_allclose(p[:, 0, 3], [0.0, 2.0])
+
+
+def _rawlog_fixture(tmp_path, n=4, rows=48, cols=64):
+    """Tiny rawlog + groundtruth.txt from analytic frames."""
+    from staticfusion_tpu.io import rawlog
+
+    rng = np.random.default_rng(3)
+    frames, ts = [], []
+    for i in range(n):
+        rgb = rng.random((rows, cols, 3)).astype(np.float32)
+        depth = (1.0 + 0.002 * i + 0.3 * rng.random((rows, cols))).astype(
+            np.float32)
+        depth[0, 0] = 4.9           # beyond max_distance -> dropped
+        depth[1, 1] = 1.2345678     # mm truncation check
+        frames.append((rgb, depth))
+        ts.append(1341840000.0 + i / 30.0)
+    path = str(tmp_path / "seq.rawlog")
+    rawlog.write_rawlog(path, frames, ts)
+    with open(tmp_path / "groundtruth.txt", "w") as f:
+        f.write("# ground truth\n# trajectory\n# t x y z qx qy qz qw\n")
+        for i, t in enumerate(ts):
+            f.write(f"{t:.4f} {0.1 * i:.4f} 0.0 0.0 0 0 0 1\n")
+    return path, frames, ts
+
+
+def test_rawlog_roundtrip(tmp_path):
+    """write_rawlog -> RawlogSequence reproduces Datasets.cpp load semantics:
+    180-degree rotated read, BGR-as-RGB swap, truncation to whole mm,
+    4.5 m distance gate (Datasets.cpp:176-193)."""
+    from staticfusion_tpu.io import rawlog
+
+    path, frames, ts = _rawlog_fixture(tmp_path)
+    seq = rawlog.RawlogSequence(path, res_factor=1)
+    assert len(seq) == len(frames)
+    for (rgb_l, dmm_l, t_l), (rgb_w, d_w), t_w in zip(seq, frames, ts):
+        assert abs(t_l - t_w) < 1e-4
+        # Loader output is the stored frame rotated 180 degrees; channel
+        # swap on load undoes the writer's swap.
+        exp_rgb = rgb_w[::-1, ::-1]
+        np.testing.assert_allclose(rgb_l, np.round(exp_rgb * 255) / 255,
+                                   atol=1e-6)
+        exp_mm = np.where(d_w < 4.5, np.trunc(d_w * 1000.0), 0.0)[::-1, ::-1]
+        np.testing.assert_array_equal(dmm_l, exp_mm)
+    # Spot-check the two sentinel pixels land rotated.
+    _, d0 = frames[0]
+    _, dmm0, _ = next(iter(seq))
+    assert dmm0[-1, -1] == 0.0                     # was (0,0): beyond 4.5 m
+    assert dmm0[-2, -2] == np.trunc(1.2345678e3)   # was (1,1): 1234 mm
+
+
+def test_rawlog_downsample_and_gt(tmp_path):
+    from staticfusion_tpu.io import rawlog
+
+    path, frames, ts = _rawlog_fixture(tmp_path)
+    seq = rawlog.RawlogSequence(path, res_factor=2)
+    rgb, dmm, _ = next(iter(seq))
+    assert dmm.shape == (24, 32) and rgb.shape == (24, 32, 3)
+    # Downsampled 180-degree read: out[i,j] = stored[H-2i-1, W-2j-1]
+    # (Datasets.cpp:176-178).
+    exp = np.where(frames[0][1] < 4.5,
+                   np.trunc(frames[0][1] * 1000.0), 0.0)[::-1, ::-1][::2, ::2]
+    np.testing.assert_array_equal(dmm, exp)
+
+    # GT: monotone nearest-timestamp walk composed with rotateByZ
+    # (Datasets.cpp:206-225).
+    T0 = seq.initial_gt_pose()
+    np.testing.assert_allclose(T0, rawlog.ROTATE_BY_Z, atol=1e-7)
+    T2 = seq.gt_pose_for(ts[2])
+    exp2 = np.eye(4)
+    exp2[0, 3] = 0.2
+    np.testing.assert_allclose(T2, exp2 @ rawlog.ROTATE_BY_Z, atol=1e-6)
+
+
+def test_rawlog_skips_unknown_objects(tmp_path):
+    """Foreign object classes in the stream are skipped by end-flag
+    resynchronization (the reference's loop skips non-3DRangeScan
+    observations too, Datasets.cpp:123-132)."""
+    import gzip
+
+    from staticfusion_tpu.io import rawlog
+
+    path, frames, ts = _rawlog_fixture(tmp_path, n=2)
+    raw = gzip.open(path, "rb").read()
+    # Prepend an unknown object: header + opaque payload + end flag.
+    w = rawlog._Writer(open(tmp_path / "mixed.rawlog", "wb"))
+    w.header("CObservationIMU", 3)
+    w.f.write(b"\x01\x02\x03\x04payload")
+    w.end_flag()
+    w.f.write(raw if raw[:2] != b"\x1f\x8b" else gzip.decompress(raw))
+    w.f.close()
+
+    seq = rawlog.RawlogSequence(str(tmp_path / "mixed.rawlog"), res_factor=1)
+    # images dir differs from the fixture's -> point it back
+    seq.images_dir = rawlog.images_directory(path)
+    assert len(seq) == 2
+    _, dmm, t0 = next(iter(seq))
+    assert abs(t0 - ts[0]) < 1e-4
