@@ -20,7 +20,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_one(profile: str, factor: int, n_frames: int, res_factor: int = 2):
+def run_one(profile: str, factor: int, n_frames: int, res_factor: int = 2,
+            seed: int = 0):
     import numpy as np
 
     from staticfusion_tpu.config import CameraConfig, FusionConfig, SFConfig
@@ -32,7 +33,8 @@ def run_one(profile: str, factor: int, n_frames: int, res_factor: int = 2):
                                           height=480 // res_factor),
                       fusion=FusionConfig(capacity=1 << 18,
                                           index_factor=factor))
-    frames, gt = adv.make_adversarial_sequence(config, n_frames, profile)
+    frames, gt = adv.make_adversarial_sequence(config, n_frames, profile,
+                                               seed=seed)
 
     slam = SlamSystem(config)
     ious = []
@@ -71,6 +73,7 @@ def main():
     ap.add_argument("--factors", default="1,4")
     ap.add_argument("--res-factor", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -83,7 +86,8 @@ def main():
     rows = []
     for factor in [int(f) for f in args.factors.split(",")]:
         for profile in args.profiles.split(","):
-            r = run_one(profile, factor, args.frames, args.res_factor)
+            r = run_one(profile, factor, args.frames, args.res_factor,
+                        args.seed)
             rows.append(r)
             print(json.dumps(r), flush=True)
 

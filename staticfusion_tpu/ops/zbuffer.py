@@ -21,7 +21,10 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-INVALID = jnp.int32(2147483647)
+# Plain Python int, NOT a jnp scalar: a module-level jnp value would
+# initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize (parallel/distributed.py).
+INVALID = 2147483647
 
 
 def zbuffer_scatter(flat_idx: jnp.ndarray, depth: jnp.ndarray,
