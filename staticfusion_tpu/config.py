@@ -143,11 +143,20 @@ class LoopClosureConfig:
     kf_interval: int = 10     # frames between stored keyframes
     capacity: int = 64        # keyframe slots (fixed shapes)
     min_gap: int = 30         # frames a match must be older than the query
-    max_fp_dist: float = 0.005  # fingerprint MSE acceptance (revisits
-                                # measure ~1e-3; 5-frame-apart views ~1e-2)
-    max_residual: float = 0.04  # depth-residual verification gate (m)
+    max_fp_dist: float = 0.005  # fingerprint MSE acceptance.  Calibration
+                                # (scripts/calibrate_loop.py): genuine
+                                # revisits <= 4.5e-3, non-revisit views
+                                # ~0.6 — but aliased scenes can score 1e-6,
+                                # so this gate is only the cheap filter.
+    max_residual: float = 0.04  # depth-residual verification gate (m):
+                                # genuine matches ~5e-4, aliased
+                                # same-texture/different-geometry pairs
+                                # ~0.14 — the gate that actually prevents
+                                # false closures (test_keyframes.py).
     loop_weight: float = 4.0  # loop vs odometry constraint weight
     gn_iters: int = 10        # pose-graph Gauss-Newton iterations
+    deform_map: bool = True   # piecewise-rigid surfel-map correction on
+                              # closure (keyframes.deform_map)
 
 
 @dataclasses.dataclass(frozen=True)

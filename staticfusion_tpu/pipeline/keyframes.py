@@ -18,8 +18,12 @@ drift accumulates forever.  This layer closes the loop the TPU way:
   (`parallel/posegraph.py`), which also has a constraint-sharded
   `optimize_sharded` variant for large graphs.
 
-The surfel map is not deformed on correction (the reference never corrects
-at all); new fusion happens at corrected poses.
+On correction the surfel map is deformed piecewise-rigidly (`deform_map`):
+every surfel moves with the pose delta of the keyframe interval it was
+created in (assigned by birth tick), so the map stays registered to the
+corrected trajectory.  The reference never corrects at all; ElasticFusion
+uses a full deformation graph — per-keyframe rigid segments are the
+fixed-shape TPU middle ground (one gather + one batched transform).
 """
 
 from __future__ import annotations
@@ -149,6 +153,40 @@ def relative_pose(kf_intensity: jnp.ndarray, kf_depth: jnp.ndarray,
     frac = jnp.sum(covis) / covis.size
     resid = jnp.where(frac < 0.25, jnp.inf, resid)
     return sol.T_odometry, resid
+
+
+@jax.jit
+def deform_map(smap, kf_frame_idx: jnp.ndarray, old_poses: jnp.ndarray,
+               new_poses: jnp.ndarray, n_kf):
+    """Piecewise-rigid map correction after a pose-graph solve.
+
+    Each surfel is assigned to the last keyframe born before it (via its
+    `init_time` tick) and transformed by that node's correction
+    `new @ inv(old)`.  Surfels older than the first keyframe ride node 0,
+    whose delta is identity (the graph is gauge-fixed there).
+
+    Args:
+      smap: SurfelMap (world-frame pos/normal).
+      kf_frame_idx: (K,) int32 birth frame of each keyframe row (-1 unused).
+      old_poses / new_poses: (K, 4, 4) keyframe poses before/after the
+        correction.
+      n_kf: live keyframe count.
+    """
+    from staticfusion_tpu.fusion.surfels import SurfelMap  # cycle-free
+
+    delta = new_poses @ se3.se3_inverse(old_poses)          # (K, 4, 4)
+    k = jnp.arange(kf_frame_idx.shape[0])
+    keys = jnp.where(k < jnp.asarray(n_kf), kf_frame_idx.astype(jnp.float32),
+                     jnp.inf)
+    seg = jnp.clip(
+        jnp.searchsorted(keys, smap.init_time, side="right") - 1,
+        0, jnp.maximum(jnp.asarray(n_kf) - 1, 0))
+    D = delta[seg]                                          # (N, 4, 4)
+    pos = jnp.einsum("nij,nj->ni", D[:, :3, :3], smap.pos) + D[:, :3, 3]
+    nrm = jnp.einsum("nij,nj->ni", D[:, :3, :3], smap.normal)
+    return smap._replace(
+        pos=jnp.where(smap.valid[:, None], pos, smap.pos),
+        normal=jnp.where(smap.valid[:, None], nrm, smap.normal))
 
 
 def close_loop(kf_poses: jnp.ndarray, n_kf, loop_i, loop_j,

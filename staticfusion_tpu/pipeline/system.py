@@ -142,6 +142,14 @@ class SlamSystem:
                 pose = opt[cur_node]
                 db = db._replace(poses=opt)
                 self.state = self.state._replace(curr_pose=pose)
+                if lc.deform_map:
+                    # Move the surfels with their birth-interval keyframes
+                    # so the map follows the corrected trajectory.
+                    fidx = db.frame_idx.at[cur_node].set(n)
+                    self.state = self.state._replace(
+                        smap=keyframes.deform_map(
+                            self.state.smap, fidx, chain, opt,
+                            cur_node + 1))
                 out = out._replace(curr_pose=pose)
                 self.loop_closures.append({
                     "frame": n, "keyframe": int(db.frame_idx[k]),

@@ -138,3 +138,100 @@ def test_close_loop_removes_drift():
     assert err_after < 0.4 * err_before, (err_before, err_after)
     # Gauge fix: the map origin (pose 0) must not move.
     assert np.abs(opt[0] - np.eye(4)).max() < 1e-6
+
+
+def test_deform_map_piecewise_rigid():
+    """Surfels follow the pose delta of their birth-interval keyframe;
+    node-0 surfels stay put (gauge fix); invalid slots untouched."""
+    from staticfusion_tpu.fusion import surfels
+
+    smap = surfels.empty_map(8)
+    pos = np.array([[0.0, 0.0, 2.0],     # born tick 1 -> kf node 0
+                    [1.0, 0.0, 2.0],     # born tick 12 -> node 1
+                    [0.0, 1.0, 3.0]])    # born tick 22 -> node 2
+    ticks = np.array([1.0, 12.0, 22.0])
+    smap = smap._replace(
+        pos=smap.pos.at[:3].set(pos),
+        normal=smap.normal.at[:3].set(np.array([0.0, 0.0, 1.0])),
+        init_time=smap.init_time.at[:3].set(ticks),
+        valid=smap.valid.at[:3].set(True),
+        # Slot 3 invalid but with a pose: must NOT move.
+        used=jnp.asarray(3, jnp.int32))
+    smap = smap._replace(pos=smap.pos.at[3].set([9.0, 9.0, 9.0]))
+
+    K = 4
+    fidx = jnp.asarray([0, 10, 20, -1], jnp.int32)
+    old = jnp.broadcast_to(jnp.eye(4), (K, 4, 4))
+    # Node 1 shifts +x by 0.5; node 2 rotates 90 deg about Z and shifts.
+    Rz = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float64)
+    new = np.tile(np.eye(4), (K, 1, 1))
+    new[1, 0, 3] = 0.5
+    new[2, :3, :3] = Rz
+    new[2, :3, 3] = [0.1, 0.2, 0.3]
+
+    out = kf.deform_map(smap, fidx, old, jnp.asarray(new), 3)
+    got = np.asarray(out.pos)
+    np.testing.assert_allclose(got[0], pos[0], atol=1e-6)          # node 0
+    np.testing.assert_allclose(got[1], pos[1] + [0.5, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(got[2], Rz @ pos[2] + [0.1, 0.2, 0.3],
+                               atol=1e-5)
+    np.testing.assert_allclose(got[3], [9.0, 9.0, 9.0], atol=1e-6)  # invalid
+    # Normals rotate with their segment.
+    np.testing.assert_allclose(np.asarray(out.normal)[2], Rz @ [0, 0, 1],
+                               atol=1e-5)
+
+
+def test_no_false_closure_without_revisit():
+    """Negative control: a yaw sweep where every eligible (min_gap-old)
+    keyframe looks at a DIFFERENT part of the room must close zero loops —
+    the fingerprint gate (and failing that, verification) rejects.  A
+    slow-motion trajectory would be the wrong control: frames a few apart
+    still overlap almost fully, and a detected match there is a correct
+    re-localization, not a false positive."""
+    from staticfusion_tpu.pipeline.system import SlamSystem
+
+    cfg = CONFIG.replace(loop=LoopClosureConfig(
+        enabled=True, kf_interval=1, capacity=32, min_gap=8,
+        max_fp_dist=0.005, max_residual=0.05))
+    yaw = np.array([0, 0, 0, 0, 0.1, 0], np.float32)  # ~5.7 deg/frame
+    fr, _ = synthetic.make_sequence(CONFIG, 14, yaw)
+    slam = SlamSystem(cfg)
+    for i, (rgb, depth_mm, _) in enumerate(fr):
+        slam.process(rgb, depth_mm, i / 30.0)
+    # min_gap-old keyframes view >= 0.8 rad away (most of the FOV):
+    # nothing may close.
+    assert slam.loop_closures == [], slam.loop_closures
+
+
+def test_aliased_scene_rejected_by_verification():
+    """Perceptual aliasing: two DIFFERENT places engineered to share
+    coarse appearance statistics (identical texture, mirrored geometry).
+    The fingerprint may rank them close, but geometric verification must
+    reject the match — the depth-residual gate is the last line of defense
+    against corrupting the trajectory with a false constraint."""
+    rows, cols = CONFIG.rows, CONFIG.cols
+    yy, xx = np.mgrid[0:rows, 0:cols].astype(np.float32)
+    inten = 0.5 + 0.3 * np.sin(xx / 9.0) * np.cos(yy / 7.0)
+    # Place A: smooth sloping wall.  Place B: same slope overlaid with
+    # high-frequency corrugation whose cell-means vanish — the COARSE
+    # statistics (both intensity and depth blocks) alias, but no rigid
+    # motion maps one surface onto the other.  (A mirrored *plane* would
+    # not do: two planes are always related by a rotation, and
+    # verification would — correctly — accept that alignment.)
+    depth_a = 1.5 + 1.0 * (xx / cols)
+    depth_b = depth_a + 0.35 * np.sin(xx / 2.1) * np.sin(yy / 1.7)
+
+    emb_a = kf.fingerprint(jnp.asarray(inten), jnp.asarray(depth_a))
+    emb_b = kf.fingerprint(jnp.asarray(inten), jnp.asarray(depth_b))
+    # The embeddings are close in the intensity block (identical texture):
+    # an appearance-only matcher would consider pairing them.
+    D = kf.fp_dim()
+    d_int = float(jnp.mean((emb_a[:D // 3] - emb_b[:D // 3]) ** 2))
+    assert d_int < 1e-10
+
+    # Geometric verification: solving A against B must come back with a
+    # residual far above the acceptance gate (or no covisibility at all).
+    _, resid = kf.relative_pose(jnp.asarray(inten), jnp.asarray(depth_a),
+                                jnp.asarray(inten), jnp.asarray(depth_b),
+                                CONFIG)
+    assert not float(resid) < CONFIG.loop.max_residual, float(resid)
