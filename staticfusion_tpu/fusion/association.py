@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from staticfusion_tpu.config import SFConfig
@@ -58,6 +59,19 @@ class AssociationResult(NamedTuple):
     new: NewSurfels
 
 
+class PixelRoute(NamedTuple):
+    """Full-res per-pixel routing of the window search outcome, for the
+    pixel-routed write-back (clean.writeback_pixel_routed): which surfel
+    each active pixel matched and at which window offset.  Row-scatter cost
+    follows source rows, so routing the merged write-back from the ~H*W/4
+    active pixels instead of all H*W texels cuts the hottest fuse scatter
+    4x."""
+    matched: jnp.ndarray   # (H, W) bool
+    best_id: jnp.ndarray   # (H, W) int32
+    best_dv: jnp.ndarray   # (H, W) int32 texel offset
+    best_du: jnp.ndarray
+
+
 class TexelUpdates(NamedTuple):
     """Update records routed to the winning surfel's *texel* instead of its
     slot (all (Ht, Wt) images).  Positions/normals stay in the camera frame —
@@ -80,6 +94,33 @@ def _neighbours_ok(depth: jnp.ndarray) -> jnp.ndarray:
     p = jnp.pad(depth, 1)
     return ((p[1:-1, :-2] != 0) & (p[1:-1, 2:] != 0)
             & (p[:-2, 1:-1] != 0) & (p[2:, 1:-1] != 0))
+
+
+def active_subgrid(img: jnp.ndarray, t_par: jnp.ndarray) -> jnp.ndarray:
+    """(H, W[, C]) -> (H//2, W//2[, C]): the checkerboard-active pixels
+    (u%2 == v%2 == tick%2, data.vert:124).  Only these pixels can emit
+    update records or new surfels, so compacting scatter sources to this
+    subgrid cuts row-scatter cost 4x (TPU row scatters cost ~13 ns/row
+    regardless of drop-mode; the profiled association/writeback scatters
+    were the two hottest ops of the fuse)."""
+    rows, cols = img.shape[:2]
+    start = (t_par, t_par) + (0,) * (img.ndim - 2)
+    size = (rows - 1, cols - 1) + img.shape[2:]
+    sub = jax.lax.dynamic_slice(img, start, size)
+    return sub[::2, ::2]
+
+
+def expand_subgrid(sub: jnp.ndarray, rows: int, cols: int,
+                   t_par: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of active_subgrid: place (H//2, W//2) values back at the
+    active pixels of an (rows, cols) image, zero elsewhere.  Scatter-free:
+    2x2 nearest upsample + phase mask (the upsampled value at any phase of
+    a 2x2 block is the same subgrid value)."""
+    up = jnp.repeat(jnp.repeat(sub, 2, axis=0), 2, axis=1)
+    uu = jnp.arange(cols, dtype=jnp.int32)[None, :]
+    vv = jnp.arange(rows, dtype=jnp.int32)[:, None]
+    mask = (uu % 2 == t_par) & (vv % 2 == t_par)
+    return jnp.where(mask, up, jnp.zeros_like(up))
 
 
 class _Search(NamedTuple):
@@ -168,24 +209,31 @@ def _window_search(tex: TexelImages,
 
 
 def _new_surfels(search: _Search, is_new: jnp.ndarray, rgb: jnp.ndarray,
-                 static_prob: jnp.ndarray, pose: jnp.ndarray,
+                 static_prob: jnp.ndarray, pose: jnp.ndarray, t_par,
                  config: SFConfig) -> NewSurfels:
     """New-measurement attributes (data.vert:83-106): position from raw
     depth, normal/radius from filtered depth, new-unstable conf 0.08 iff
-    probStatic > 0.5 (data.vert:171-180)."""
+    probStatic > 0.5 (data.vert:171-180).
+
+    Arrays are compacted to the checkerboard-active subgrid (is_new is a
+    subset of `active`), in the same row-major order as the full grid, so
+    insert slot assignment is unchanged while the insert scatter carries
+    4x fewer rows."""
     fus = config.fusion
     R, t = pose[:3, :3], pose[:3, 3]
-    world_pos = search.raw.pos.reshape(-1, 3) @ R.T + t
-    world_nrm = search.filt.normal.reshape(-1, 3) @ R.T
-    new_conf = jnp.where(static_prob.ravel() > fus.new_static_prob_gate,
-                         fus.new_unstable_conf, 0.0)
+    sub = lambda a: active_subgrid(a, t_par)
+    world_pos = sub(search.raw.pos).reshape(-1, 3) @ R.T + t
+    world_nrm = sub(search.filt.normal).reshape(-1, 3) @ R.T
+    new_conf = jnp.where(
+        sub(static_prob).ravel() > fus.new_static_prob_gate,
+        fus.new_unstable_conf, 0.0)
     return NewSurfels(
-        is_new=is_new.ravel(),
+        is_new=sub(is_new).ravel(),
         pos=world_pos,
         conf=new_conf,
-        color=rgb.reshape(-1, 3),
+        color=sub(rgb).reshape(-1, 3),
         normal=world_nrm,
-        radius=search.filt.radius.ravel(),
+        radius=sub(search.filt.radius).ravel(),
     )
 
 
@@ -197,7 +245,8 @@ def associate_texels(tex: TexelImages,
                      pose: jnp.ndarray,
                      tick: jnp.ndarray,
                      weighting: jnp.ndarray,
-                     config: SFConfig):
+                     config: SFConfig,
+                     with_route: bool = False):
     """Association with update records routed to the winner's *texel*.
 
     One add-combine scatter (12-wide: 11 payload fields + a count) replaces
@@ -219,12 +268,22 @@ def associate_texels(tex: TexelImages,
     vv = jnp.arange(rows, dtype=jnp.int32)[:, None]
     ty = F * vv + s.best_dv
     tx = F * uu + s.best_du
-    tflat = jnp.where(matched, ty * cols4 + tx, S_tex).ravel()
+    tflat_img = jnp.where(matched, ty * cols4 + tx, S_tex)
 
-    ones = jnp.ones((rows * cols, 1))
+    # Compact scatter sources to the active checkerboard quarter (only
+    # those pixels can match): same summands in the same relative order,
+    # 4x fewer rows through the scatter.
+    t_par = jnp.asarray(tick, jnp.int32) % 2
+    sub = lambda a: active_subgrid(a, t_par)
+    tflat = sub(tflat_img).ravel()
+    n_sub = tflat.shape[0]
+    meas_conf_img = s.meas_conf.reshape(rows, cols)
+
+    ones = jnp.ones((n_sub, 1))
     payload = jnp.concatenate([
-        s.raw.pos.reshape(-1, 3), s.meas_conf[:, None], rgb.reshape(-1, 3),
-        s.filt.normal.reshape(-1, 3), s.filt.radius.reshape(-1, 1), ones,
+        sub(s.raw.pos).reshape(-1, 3), sub(meas_conf_img).ravel()[:, None],
+        sub(rgb).reshape(-1, 3), sub(s.filt.normal).reshape(-1, 3),
+        sub(s.filt.radius).reshape(-1, 1), ones,
     ], axis=1)
     rec = jnp.zeros((S_tex, payload.shape[1]),
                     payload.dtype).at[tflat].add(payload, mode="drop")
@@ -245,7 +304,12 @@ def associate_texels(tex: TexelImages,
         pos=img3(0), conf=img(3), color=img3(4), normal=img3(7),
         radius=img(10),
     )
-    return upd, _new_surfels(s, is_new, rgb, static_prob, pose, config)
+    new = _new_surfels(s, is_new, rgb, static_prob, pose, t_par, config)
+    if with_route:
+        route = PixelRoute(matched=matched, best_id=s.best_id,
+                           best_dv=s.best_dv, best_du=s.best_du)
+        return upd, new, route
+    return upd, new
 
 
 def associate(smap_capacity: int,
@@ -310,5 +374,6 @@ def associate(smap_capacity: int,
         radius=rec[:, 10],
     )
 
-    new = _new_surfels(s, is_new, rgb, static_prob, pose, config)
+    new = _new_surfels(s, is_new, rgb, static_prob, pose,
+                       jnp.asarray(tick, jnp.int32) % 2, config)
     return AssociationResult(updates=updates, new=new)

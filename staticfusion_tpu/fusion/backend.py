@@ -19,7 +19,8 @@ from staticfusion_tpu.config import SFConfig
 from staticfusion_tpu.fusion import incremental, predict
 from staticfusion_tpu.fusion.association import associate, associate_texels
 from staticfusion_tpu.fusion.clean import (clean_and_insert, window_kill_tex,
-                                           writeback_and_insert)
+                                           writeback_and_insert,
+                                           writeback_pixel_routed)
 from staticfusion_tpu.fusion.indexmap import predict_indices
 from staticfusion_tpu.fusion.surfels import SurfelMap
 from staticfusion_tpu.fusion.update import apply_updates, merge_texels
@@ -87,11 +88,10 @@ def fuse_frame(smap: SurfelMap,
     if use_incr:
         # Full render on the cadence frame, on fast motion (warp reach
         # exceeded), and until a full render has seeded the carried state.
-        cadence = (tick % fus.incremental_every) == 0
-        fits = incremental.motion_fits(carried, T_odometry, tick,
-                                       smap.capacity, config)
+        do_full = ((tick % fus.incremental_every) == 0) | ~incremental.\
+            motion_fits(carried, T_odometry, tick, smap.capacity, config)
         tex = jax.lax.cond(
-            cadence | ~fits,
+            do_full,
             lambda: predict_indices(smap, curr_pose, tick, config)[0],
             lambda: incremental.incremental_render(
                 carried, T_odometry, tick, smap.capacity, config))
@@ -99,26 +99,40 @@ def fuse_frame(smap: SurfelMap,
     else:
         tex, local = predict_indices(smap, curr_pose, tick, config)
 
-    upd, new = associate_texels(tex, raw_depth_m, filtered_depth_m, rgb,
-                                static_prob, curr_pose, tick, weighting,
-                                config)
+    upd, new, route = associate_texels(tex, raw_depth_m, filtered_depth_m,
+                                       rgb, static_prob, curr_pose, tick,
+                                       weighting, config, with_route=True)
     merged = merge_texels(tex, upd, tick, config)
-    # The clean window test runs on *post-update* attributes, matching the
-    # reference's re-render before clean (Reconstruction.cpp:300).
-    kill_tex = window_kill_tex(merged, tick, config)
     if use_incr:
+        # In incremental mode the clean window kill fires on the
+        # full-render frames only (the elementwise age/conf lifecycle
+        # still runs every frame inside both write-back variants); warp
+        # frames take the 4x-cheaper pixel-routed write-back.
+        kill_tex = jnp.where(do_full, window_kill_tex(merged, tick, config),
+                             jnp.zeros_like(merged.has))
         carried_next = incremental.build_carried(
             merged, upd, kill_tex, new, smap.used, curr_pose, tick,
             smap.capacity, config)
-    elif carried is not None:
-        # Config enables carrying but this tier can't take the path (e.g.
-        # id bits out of packed range): keep the pytree structure, mark
-        # the snapshot unusable.
-        carried_next = carried._replace(ok=jnp.asarray(False))
+        smap = jax.lax.cond(
+            do_full,
+            lambda: writeback_and_insert(smap, merged, upd.has, kill_tex,
+                                         local, new, curr_pose, tick,
+                                         config),
+            lambda: writeback_pixel_routed(smap, merged, route, new,
+                                           curr_pose, tick, config))
     else:
-        carried_next = None
-    smap = writeback_and_insert(smap, merged, upd.has, kill_tex, local, new,
-                                curr_pose, tick, config)
+        # The clean window test runs on *post-update* attributes, matching
+        # the reference's re-render before clean (Reconstruction.cpp:300).
+        kill_tex = window_kill_tex(merged, tick, config)
+        if carried is not None:
+            # Config enables carrying but this tier can't take the path
+            # (e.g. id bits out of packed range): keep the pytree
+            # structure, mark the snapshot unusable.
+            carried_next = carried._replace(ok=jnp.asarray(False))
+        else:
+            carried_next = None
+        smap = writeback_and_insert(smap, merged, upd.has, kill_tex, local,
+                                    new, curr_pose, tick, config)
 
     # Next frame predicts at exactly this pose; splat the surviving merged
     # texels with the LOW-confidence cull (new unstable surfels sit below

@@ -49,7 +49,8 @@ import jax
 import jax.numpy as jnp
 
 from staticfusion_tpu.config import SFConfig
-from staticfusion_tpu.fusion.association import NewSurfels, TexelUpdates
+from staticfusion_tpu.fusion.association import (NewSurfels, TexelUpdates,
+                                                 expand_subgrid)
 from staticfusion_tpu.fusion.texelmap import (INT_MAX, PACKED_MAX_ID_BITS,
                                               TexelImages, id_bits_for)
 from staticfusion_tpu.geometry.se3 import se3_inverse
@@ -137,28 +138,50 @@ def build_carried(merged: TexelImages,
         ~((too_old_unstable & ~stale_stable) | (merged.conf == 0.0))
 
     # --- layer 2: this fuse's inserts, back in camera-local coords ---
+    # NewSurfels arrays are compacted to the checkerboard-active subgrid
+    # (association.active_subgrid); expand back to the texel grid with the
+    # scatter-free phase-mask upsample.
+    t_par = jnp.asarray(tick, jnp.int32) % 2
+    sub_rows, sub_cols = rows // 2, cols // 2
+
+    def ximg(a):
+        return expand_subgrid(a.reshape(sub_rows, sub_cols), rows, cols,
+                              t_par)
+
     ins_flat = new.is_new
     rank = jnp.cumsum(ins_flat.astype(jnp.int32)) - 1
     slot = used + rank
     ins_flat = ins_flat & (slot < capacity)
-    ins = ins_flat.reshape(rows, cols)
-    slot_img = slot.reshape(rows, cols).astype(jnp.float32)
+    ins = ximg(ins_flat) > 0.0
+    slot_img = ximg(slot.astype(jnp.float32))
     # new.pos/normal are world (data.vert:83-106); the carried stack is
-    # camera-local, so undo the rigid transform applied in _new_surfels.
-    # (Exactly frame_cloud's backprojection up to float round-off.)
+    # camera-local, so undo the rigid transform applied in _new_surfels
+    # (exactly frame_cloud's backprojection up to float round-off).
+    # Planar math for the same layout reason as _transform_project.
     Rw, tw = pose[:3, :3], pose[:3, 3]
-    npos = (new.pos.reshape(rows, cols, 3) - tw) @ Rw
-    nnrm = new.normal.reshape(rows, cols, 3) @ Rw
 
-    ncol = new.color.reshape(rows, cols, 3)
-    nconf = new.conf.reshape(rows, cols)
-    nrad = new.radius.reshape(rows, cols)
+    def plane(a, col):
+        return ximg(a[:, col])
+
+    wx = plane(new.pos, 0) - tw[0] * ins
+    wy = plane(new.pos, 1) - tw[1] * ins
+    wz = plane(new.pos, 2) - tw[2] * ins
+
+    def unrot(a, b, c, col):
+        return Rw[0, col] * a + Rw[1, col] * b + Rw[2, col] * c
+
+    npos = (unrot(wx, wy, wz, 0), unrot(wx, wy, wz, 1), unrot(wx, wy, wz, 2))
+    nnrm = tuple(unrot(plane(new.normal, 0), plane(new.normal, 1),
+                       plane(new.normal, 2), j) for j in range(3))
+    ncol = tuple(plane(new.color, j) for j in range(3))
+    nconf = ximg(new.conf)
+    nrad = ximg(new.radius)
 
     return _combine_layers(merged, keep, ins, slot_img, npos, nnrm, ncol,
                            nconf, nrad, tickf, ib, config)
 
 
-def _combine_layers(merged, keep, ins, slot_img, npos_world, nnrm_world,
+def _combine_layers(merged, keep, ins, slot_img, npos, nnrm,
                     ncol, nconf, nrad, tickf, ib, config):
     fus = config.fusion
     rows, cols = merged.has.shape
@@ -167,7 +190,7 @@ def _combine_layers(merged, keep, ins, slot_img, npos_world, nnrm_world,
     id_m = jnp.where(keep, merged.idx, INT_MAX).astype(jnp.float32)
 
     # Insert layer in local coords (caller pre-transforms world -> local).
-    ins_z = npos_world[..., 2]
+    ins_z = npos[2]
     qz_i = _quantize_depth(ins_z, ib, fus.depth_max)
 
     # Winner between the two layers by (quantized depth, id) — the same
@@ -182,19 +205,19 @@ def _combine_layers(merged, keep, ins, slot_img, npos_world, nnrm_world,
 
     one = jnp.ones((rows, cols), jnp.float32)
     ch = [
-        pick(merged.x, npos_world[..., 0]),
-        pick(merged.y, npos_world[..., 1]),
+        pick(merged.x, npos[0]),
+        pick(merged.y, npos[1]),
         pick(merged.z, ins_z),
-        pick(merged.nx, nnrm_world[..., 0]),
-        pick(merged.ny, nnrm_world[..., 1]),
-        pick(merged.nz, nnrm_world[..., 2]),
+        pick(merged.nx, nnrm[0]),
+        pick(merged.ny, nnrm[1]),
+        pick(merged.nz, nnrm[2]),
         pick(merged.radius, nrad),
         pick(merged.conf, nconf),
         pick(merged.init_time, tickf * one),
         pick(merged.last_time, tickf * one),
-        pick(merged.r, ncol[..., 0]),
-        pick(merged.g, ncol[..., 1]),
-        pick(merged.b, ncol[..., 2]),
+        pick(merged.r, ncol[0]),
+        pick(merged.g, ncol[1]),
+        pick(merged.b, ncol[2]),
         pick(merged.hist, one),
         pick(id_m, slot_img),
         any_sel.astype(jnp.float32),
@@ -215,18 +238,30 @@ def _transform_project(stack: jnp.ndarray, T_odometry: jnp.ndarray,
     ib = id_bits_for(capacity)
     rows, cols = stack.shape[1:]
 
-    # x_{t+1} = T_odometry^{-1} x_t  (pose_{t+1} = pose_t @ T_odometry)
+    # x_{t+1} = T_odometry^{-1} x_t  (pose_{t+1} = pose_t @ T_odometry).
+    # Planar form: 9 scalar-coefficient multiply-adds on (H, W) planes.
+    # Stacking the planes into (H, W, 3) + a K=3 matmul puts a 3-wide dim
+    # in the lane position — a whole-array relayout plus a 42x-padded MXU
+    # op that costs ~1.7 ms at QVGA (scripts/microbench_incr3.py); this
+    # form fuses to near-zero.
     Ti = se3_inverse(T_odometry)
     R, t = Ti[:3, :3], Ti[:3, 3]
-    p = jnp.stack([stack[0], stack[1], stack[2]], axis=-1)
-    n = jnp.stack([stack[3], stack[4], stack[5]], axis=-1)
-    p2 = p @ R.T + t
-    n2 = n @ R.T
+    x0, y0, z0 = stack[0], stack[1], stack[2]
+    nx0, ny0, nz0 = stack[3], stack[4], stack[5]
 
-    z = p2[..., 2]
+    def rot(a, b, c, row):
+        return R[row, 0] * a + R[row, 1] * b + R[row, 2] * c
+
+    px = rot(x0, y0, z0, 0) + t[0]
+    py = rot(x0, y0, z0, 1) + t[1]
+    z = rot(x0, y0, z0, 2) + t[2]
+    n2x = rot(nx0, ny0, nz0, 0)
+    n2y = rot(nx0, ny0, nz0, 1)
+    n2z = rot(nx0, ny0, nz0, 2)
+
     safe_z = jnp.where(z == 0.0, 1.0, z)
-    xc = cam.fx * p2[..., 0] / safe_z + cam.cx
-    yc = cam.fy * p2[..., 1] / safe_z + cam.cy
+    xc = cam.fx * px / safe_z + cam.cx
+    yc = cam.fy * py / safe_z + cam.cy
     ucell = jnp.floor(xc).astype(jnp.int32)
     vcell = jnp.floor(yc).astype(jnp.int32)
 
@@ -241,9 +276,8 @@ def _transform_project(stack: jnp.ndarray, T_odometry: jnp.ndarray,
     dy = vcell - vv
     dx = ucell - uu
 
-    stack2 = stack.at[0].set(p2[..., 0]).at[1].set(p2[..., 1]) \
-                  .at[2].set(p2[..., 2]).at[3].set(n2[..., 0]) \
-                  .at[4].set(n2[..., 1]).at[5].set(n2[..., 2])
+    stack2 = jnp.concatenate(
+        [jnp.stack([px, py, z, n2x, n2y, n2z]), stack[6:]])
     return stack2, vcell, ucell, qz, valid, dy, dx
 
 

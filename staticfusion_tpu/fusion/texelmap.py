@@ -132,7 +132,8 @@ def render_texel_images(smap: SurfelMap, local: SurfelsLocal,
                         tick: jnp.ndarray, config: SFConfig,
                         conf_threshold: float | jnp.ndarray = 0.0,
                         z_min: float = 0.0,
-                        time_delta: float | None = None) -> TexelImages:
+                        time_delta: float | None = None,
+                        materialize: str = "auto") -> TexelImages:
     """Packed-key z-buffered surfel render + per-field attribute gathers.
 
     Culls as index_map.vert:48-56 (z in (z_min, maxDepth], fresh within
@@ -183,10 +184,6 @@ def render_texel_images(smap: SurfelMap, local: SurfelsLocal,
         has = fb != INT_MAX
         winner = fb
 
-    safe = jnp.where(has, winner, 0)
-
-    # One (14, capacity) gather instead of 14: TPU gather cost is dominated
-    # by a fixed per-op overhead plus the index count, not the row width.
     stacked = jnp.stack([
         local.pos[:, 0], local.pos[:, 1], local.pos[:, 2],
         local.normal[:, 0], local.normal[:, 1], local.normal[:, 2],
@@ -194,13 +191,51 @@ def render_texel_images(smap: SurfelMap, local: SurfelsLocal,
         smap.color[:, 0], smap.color[:, 1], smap.color[:, 2],
         smap.hist,
     ])
-    g = jnp.where(has[None, :], stacked[:, safe], 0.0)
 
-    def I(row):
-        return g[row].reshape(rows4, cols4)
+    use_gather = (S <= 2 * smap.capacity if materialize == "auto"
+                  else materialize == "gather")
+    if use_gather:
+        # Texel-count-bound attribute materialization: ONE (14, capacity)
+        # gather at the winner ids (TPU gather cost follows the index
+        # count, not the row width).  Right whenever the texel grid is no
+        # bigger than the map tier (the F=1 default).
+        safe = jnp.where(has, winner, 0)
+        g = jnp.where(has[None, :], stacked[:, safe], 0.0)
+
+        def I(row):
+            return g[row].reshape(rows4, cols4)
+
+        idx_img = winner.reshape(rows4, cols4)
+    else:
+        # Capacity-bound materialization for super-resolution grids
+        # (the reference's FACTOR=4, IndexMap.cpp:21, where S = 16*H*W
+        # dwarfs the live map): each surfel re-reads its own texel's
+        # winning key (ONE capacity-sized gather) and the winners write
+        # their attributes back with ONE wide row-scatter — indexed-op
+        # cost stays O(capacity), never O(S).  Same winners, same values.
+        win_key = fb.at[flat].get(mode="fill", fill_value=INT_MAX)
+        if ib <= PACKED_MAX_ID_BITS:
+            won = ok & (win_key == key)
+        else:
+            won = ok & (win_key == ids)
+        tgt = jnp.where(won, flat, S)
+        # Ride the id along the one wide f32 scatter bitwise (f32 can't
+        # represent ids above 2^24 exactly).
+        ids_f = jax.lax.bitcast_convert_type(ids, jnp.float32)
+        payload = jnp.concatenate([stacked.T, ids_f[:, None]], axis=1)
+        out = jnp.zeros((S, 15), jnp.float32).at[tgt].set(
+            payload, mode="drop")
+
+        def I(row):
+            return out[:, row].reshape(rows4, cols4)
+
+        has_img = has.reshape(rows4, cols4)
+        idx_scat = jax.lax.bitcast_convert_type(out[:, 14], jnp.int32)
+        idx_img = jnp.where(has_img, idx_scat.reshape(rows4, cols4),
+                            INT_MAX)
 
     return TexelImages(
-        idx=winner.reshape(rows4, cols4),
+        idx=idx_img,
         has=has.reshape(rows4, cols4),
         x=I(0), y=I(1), z=I(2),
         nx=I(3), ny=I(4), nz=I(5),

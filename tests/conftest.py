@@ -30,3 +30,16 @@ jax.config.update("jax_platforms", "cpu")
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_executables_per_module():
+    """Drop JAX's in-memory executable caches after each test module.
+
+    Every compiled XLA CPU executable holds mmap'd JIT pages; across the
+    whole suite the process otherwise accumulates >65k mappings and the
+    kernel's default vm.max_map_count kills the next compile with a
+    SIGSEGV/SIGABRT inside backend_compile (observed at ~60 tests in).
+    Recompiles stay cheap via the persistent on-disk compile cache."""
+    yield
+    jax.clear_caches()

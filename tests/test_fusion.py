@@ -419,3 +419,31 @@ def test_large_capacity_render_exact_depth():
     tex = texelmap.render_texel_images(smap, local,
                                        jnp.asarray(2, jnp.int32), CONFIG)
     assert int(tex.idx[v2 * F, u2 * F]) == 3_000_000
+
+
+def test_render_materialize_paths_agree():
+    """The capacity-bound attribute scatter (used when the F>1 texel grid
+    dwarfs the map tier) is bitwise the texel-count-bound gather."""
+    from staticfusion_tpu.fusion import texelmap
+
+    for F in (1, 4):
+        cfg = SFConfig(camera=CameraConfig(width=80, height=60),
+                       fusion=FusionConfig(capacity=1 << 13, index_factor=F))
+        d, rgb = _flat_scene()
+        sp = np.full(d.shape, 0.8, np.float32)
+        smap = surfels.initialise_map(cfg.fusion.capacity, jnp.asarray(d),
+                                      jnp.asarray(d), jnp.asarray(rgb),
+                                      jnp.asarray(sp), jnp.eye(4), cfg)
+        T = jnp.asarray(np.array([[1, 0, 0, 0.01], [0, 1, 0, -0.005],
+                                  [0, 0, 1, 0.004], [0, 0, 0, 1]],
+                                 np.float32))
+        local = texelmap.project_surfels(smap, T, cfg)
+        tick = jnp.asarray(2, jnp.int32)
+        a = texelmap.render_texel_images(smap, local, tick, cfg,
+                                         materialize="gather")
+        b = texelmap.render_texel_images(smap, local, tick, cfg,
+                                         materialize="scatter")
+        for name in a._fields:
+            np.testing.assert_array_equal(np.asarray(getattr(a, name)),
+                                          np.asarray(getattr(b, name)),
+                                          err_msg=f"F={F} field {name}")
