@@ -34,14 +34,10 @@ def main():
 
     from staticfusion_tpu.config import CameraConfig
 
-    # Incremental index-map rendering cadence (fusion/incremental.py);
-    # 0 = classic full render every frame.
-    incr = int(os.environ.get("SF_BENCH_INCREMENTAL", "0"))
     # Index-map super-resolution factor (reference FACTOR=4, IndexMap.cpp:21).
     factor = int(os.environ.get("SF_BENCH_FACTOR", "1"))
     config = SFConfig(camera=CameraConfig(width=640 // rf, height=480 // rf),
                       fusion=FusionConfig(capacity=capacity,
-                                          incremental_every=incr,
                                           index_factor=factor))
 
     twist = np.array([0.004, -0.002, 0.006, 0.0015, -0.001, 0.002], np.float32)

@@ -64,7 +64,9 @@ def timeit(label, config):
 
 
 def main():
-    config = SFConfig(fusion=FusionConfig(capacity=1 << 18))
+    factor = int(os.environ.get("SF_ABLATE_FACTOR", "1"))
+    config = SFConfig(fusion=FusionConfig(capacity=1 << 18,
+                                          index_factor=factor))
     base = timeit("full step", config)
 
     import staticfusion_tpu.pipeline.temporal as temporal

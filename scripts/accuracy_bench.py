@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_one(profile: str, factor: int, n_frames: int, res_factor: int = 2,
-            seed: int = 0, incremental: int = 0):
+            seed: int = 0):
     import numpy as np
 
     from staticfusion_tpu.config import CameraConfig, FusionConfig, SFConfig
@@ -32,8 +32,7 @@ def run_one(profile: str, factor: int, n_frames: int, res_factor: int = 2,
     config = SFConfig(camera=CameraConfig(width=640 // res_factor,
                                           height=480 // res_factor),
                       fusion=FusionConfig(capacity=1 << 18,
-                                          index_factor=factor,
-                                          incremental_every=incremental))
+                                          index_factor=factor))
     frames, gt = adv.make_adversarial_sequence(config, n_frames, profile,
                                                seed=seed)
 
@@ -61,7 +60,6 @@ def run_one(profile: str, factor: int, n_frames: int, res_factor: int = 2,
     fps = (n_frames - 2) / t_total if t_total > 0 else float("nan")
     return {
         "profile": profile, "index_factor": factor, "frames": n_frames,
-        "incremental_every": incremental,
         "ate_rmse_m": round(ate, 5), "rpe_rmse_m": round(rpe, 5),
         "seg_iou": round(float(np.mean(ious)), 4) if ious else None,
         "fps": round(fps, 2),
@@ -73,8 +71,6 @@ def main():
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--profiles", default="walk_xyz,fast_rot,static")
     ap.add_argument("--factors", default="1,4")
-    ap.add_argument("--incremental", type=int, default=0,
-                    help="incremental_every cadence (fusion/incremental.py)")
     ap.add_argument("--res-factor", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
@@ -91,7 +87,7 @@ def main():
     for factor in [int(f) for f in args.factors.split(",")]:
         for profile in args.profiles.split(","):
             r = run_one(profile, factor, args.frames, args.res_factor,
-                        args.seed, args.incremental)
+                        args.seed)
             rows.append(r)
             print(json.dumps(r), flush=True)
 

@@ -76,15 +76,6 @@ class FusionConfig:
     fillin_vertex_conf: float = 0.12     # fill_vertex.frag:52
     fillin_static_gate: float = 0.6      # fill_vertex.frag:50
     max_new_per_frame: int = 0           # 0 -> defaults to pixels per frame
-    # Incremental index-map rendering (fusion/incremental.py): re-render the
-    # full map (the reference's every-frame behavior, IndexMap.cpp:127-185)
-    # only every N-th fuse and warp the carried texel state in between.
-    # 0/1 = always full render; requires index_factor == 1.
-    incremental_every: int = 0
-    incremental_window: int = 2          # stencil reach R (texels) after the
-                                         # global shift; fast-motion frames
-                                         # exceeding it take a full render
-    incremental_max_shift: int = 16      # global-shift clamp (texels)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -59,19 +59,6 @@ class AssociationResult(NamedTuple):
     new: NewSurfels
 
 
-class PixelRoute(NamedTuple):
-    """Full-res per-pixel routing of the window search outcome, for the
-    pixel-routed write-back (clean.writeback_pixel_routed): which surfel
-    each active pixel matched and at which window offset.  Row-scatter cost
-    follows source rows, so routing the merged write-back from the ~H*W/4
-    active pixels instead of all H*W texels cuts the hottest fuse scatter
-    4x."""
-    matched: jnp.ndarray   # (H, W) bool
-    best_id: jnp.ndarray   # (H, W) int32
-    best_dv: jnp.ndarray   # (H, W) int32 texel offset
-    best_du: jnp.ndarray
-
-
 class TexelUpdates(NamedTuple):
     """Update records routed to the winning surfel's *texel* instead of its
     slot (all (Ht, Wt) images).  Positions/normals stay in the camera frame —
@@ -245,8 +232,7 @@ def associate_texels(tex: TexelImages,
                      pose: jnp.ndarray,
                      tick: jnp.ndarray,
                      weighting: jnp.ndarray,
-                     config: SFConfig,
-                     with_route: bool = False):
+                     config: SFConfig):
     """Association with update records routed to the winner's *texel*.
 
     One add-combine scatter (12-wide: 11 payload fields + a count) replaces
@@ -305,10 +291,6 @@ def associate_texels(tex: TexelImages,
         radius=img(10),
     )
     new = _new_surfels(s, is_new, rgb, static_prob, pose, t_par, config)
-    if with_route:
-        route = PixelRoute(matched=matched, best_id=s.best_id,
-                           best_dv=s.best_dv, best_du=s.best_du)
-        return upd, new, route
     return upd, new
 
 

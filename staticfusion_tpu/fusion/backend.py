@@ -16,11 +16,10 @@ import jax
 import jax.numpy as jnp
 
 from staticfusion_tpu.config import SFConfig
-from staticfusion_tpu.fusion import incremental, predict
+from staticfusion_tpu.fusion import predict
 from staticfusion_tpu.fusion.association import associate, associate_texels
 from staticfusion_tpu.fusion.clean import (clean_and_insert, window_kill_tex,
-                                           writeback_and_insert,
-                                           writeback_pixel_routed)
+                                           writeback_and_insert)
 from staticfusion_tpu.fusion.indexmap import predict_indices
 from staticfusion_tpu.fusion.surfels import SurfelMap
 from staticfusion_tpu.fusion.update import apply_updates, merge_texels
@@ -50,10 +49,6 @@ class FuseResult(NamedTuple):
     # next frame — same pose, post-clean attributes — so deriving it here
     # saves a full render: one scatter + one stacked gather per frame).
     pred: object = None
-    # Post-writeback texel snapshot for the next fuse's incremental render
-    # (fusion/incremental.py); None unless config.fusion.incremental_every
-    # enables the path.
-    carried: object = None
 
 
 def fuse_frame(smap: SurfelMap,
@@ -65,74 +60,31 @@ def fuse_frame(smap: SurfelMap,
                static_prob: jnp.ndarray,
                tick: jnp.ndarray,
                config: SFConfig,
-               weight_multiplier: float = 1.0,
-               carried=None) -> FuseResult:
+               weight_multiplier: float = 1.0) -> FuseResult:
     """One steady-state map update (Reconstruction.cpp:261-313), texel-space
     path: render -> texel-routed association -> elementwise merge + window
     kill in texel space -> ONE combined write-back/insert scatter -> splat
     the merged texels into next frame's prediction.
 
     `tick` is the reconstruction frame counter (>= 2 here; tick 1 is
-    `initialise_map`).  When `carried` (a CarriedTexels from the previous
-    fuse) is given and the config enables it, the index-map render is
-    replaced by the incremental texel warp on most frames
-    (fusion/incremental.py)."""
+    `initialise_map`)."""
     fus = config.fusion
     last_pose = curr_pose
     curr_pose = curr_pose @ T_odometry
     weighting = velocity_weighting(curr_pose, last_pose, weight_multiplier,
                                    config)
 
-    use_incr = (carried is not None
-                and incremental.supports_incremental(config, smap.capacity))
-    if use_incr:
-        # Full render on the cadence frame, on fast motion (warp reach
-        # exceeded), and until a full render has seeded the carried state.
-        do_full = ((tick % fus.incremental_every) == 0) | ~incremental.\
-            motion_fits(carried, T_odometry, tick, smap.capacity, config)
-        tex = jax.lax.cond(
-            do_full,
-            lambda: predict_indices(smap, curr_pose, tick, config)[0],
-            lambda: incremental.incremental_render(
-                carried, T_odometry, tick, smap.capacity, config))
-        local = None
-    else:
-        tex, local = predict_indices(smap, curr_pose, tick, config)
+    tex, local = predict_indices(smap, curr_pose, tick, config)
 
-    upd, new, route = associate_texels(tex, raw_depth_m, filtered_depth_m,
-                                       rgb, static_prob, curr_pose, tick,
-                                       weighting, config, with_route=True)
+    upd, new = associate_texels(tex, raw_depth_m, filtered_depth_m,
+                                rgb, static_prob, curr_pose, tick,
+                                weighting, config)
     merged = merge_texels(tex, upd, tick, config)
-    if use_incr:
-        # In incremental mode the clean window kill fires on the
-        # full-render frames only (the elementwise age/conf lifecycle
-        # still runs every frame inside both write-back variants); warp
-        # frames take the 4x-cheaper pixel-routed write-back.
-        kill_tex = jnp.where(do_full, window_kill_tex(merged, tick, config),
-                             jnp.zeros_like(merged.has))
-        carried_next = incremental.build_carried(
-            merged, upd, kill_tex, new, smap.used, curr_pose, tick,
-            smap.capacity, config)
-        smap = jax.lax.cond(
-            do_full,
-            lambda: writeback_and_insert(smap, merged, upd.has, kill_tex,
-                                         local, new, curr_pose, tick,
-                                         config),
-            lambda: writeback_pixel_routed(smap, merged, route, new,
-                                           curr_pose, tick, config))
-    else:
-        # The clean window test runs on *post-update* attributes, matching
-        # the reference's re-render before clean (Reconstruction.cpp:300).
-        kill_tex = window_kill_tex(merged, tick, config)
-        if carried is not None:
-            # Config enables carrying but this tier can't take the path
-            # (e.g. id bits out of packed range): keep the pytree
-            # structure, mark the snapshot unusable.
-            carried_next = carried._replace(ok=jnp.asarray(False))
-        else:
-            carried_next = None
-        smap = writeback_and_insert(smap, merged, upd.has, kill_tex, local,
-                                    new, curr_pose, tick, config)
+    # The clean window test runs on *post-update* attributes, matching
+    # the reference's re-render before clean (Reconstruction.cpp:300).
+    kill_tex = window_kill_tex(merged, tick, config)
+    smap = writeback_and_insert(smap, merged, upd.has, kill_tex, local,
+                                new, curr_pose, tick, config)
 
     # Next frame predicts at exactly this pose; splat the surviving merged
     # texels with the LOW-confidence cull (new unstable surfels sit below
@@ -140,8 +92,7 @@ def fuse_frame(smap: SurfelMap,
     pred_has = (merged.has & ~kill_tex & (merged.conf >= fus.low_conf)
                 & (merged.z > fus.predict_z_min))
     pred = predict.splat_from_texels(merged._replace(has=pred_has), config)
-    return FuseResult(smap=smap, curr_pose=curr_pose, pred=pred,
-                      carried=carried_next)
+    return FuseResult(smap=smap, curr_pose=curr_pose, pred=pred)
 
 
 def fuse_frame_slots(smap: SurfelMap,

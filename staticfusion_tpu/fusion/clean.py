@@ -288,109 +288,3 @@ def writeback_and_insert(smap: SurfelMap,
         valid=out[:, 14] > 0.5,
         used=used,
     )
-
-
-def writeback_pixel_routed(smap: SurfelMap,
-                           merged: TexelImages,
-                           route,
-                           new: NewSurfels,
-                           pose: jnp.ndarray,
-                           tick: jnp.ndarray,
-                           config: SFConfig) -> SurfelMap:
-    """Write-back variant for incremental (warp) frames at F=1: update rows
-    ride from the checkerboard-active PIXELS (H*W/4 rows) instead of all
-    H*W texels — row-scatter cost is per-row (~13 ns on v5e,
-    scripts/microbench: 153.6k rows = 2.0 ms vs 38.4k = 0.63 ms), so this
-    is the difference between the write-back being the hottest fuse op and
-    a footnote.
-
-    Each matched pixel re-reads its winner's *merged* texel value via a
-    static 3x3 offset select (no gathers; colliding pixels read the same
-    texel, so duplicate rows are bitwise identical and 'last wins' is
-    deterministic).  The clean window kill does NOT run here — in
-    incremental mode kills fire on the full-render cadence frames
-    (backend.fuse_frame), where writeback_and_insert applies them; the
-    elementwise age/conf lifecycle still runs every frame."""
-    from staticfusion_tpu.fusion.association import active_subgrid
-
-    fus = config.fusion
-    assert fus.index_factor == 1
-    tickf = jnp.asarray(tick, jnp.float32)
-    rows, cols = merged.has.shape
-
-    # ---- elementwise lifecycle (identical to writeback_and_insert) ----
-    too_old_unstable = ((tickf - smap.last_time) > fus.clean_unstable_age) & \
-                       (smap.conf < fus.clean_unstable_conf)
-    keep_elem = smap.valid & ~(too_old_unstable | (smap.conf == 0.0))
-    stale_stable = (smap.last_time > 0) & \
-                   ((tickf - smap.last_time) > fus.time_delta)
-    keep_elem = (keep_elem | (smap.valid & stale_stable)) & smap.valid
-
-    # ---- merged value at each pixel's matched texel: 3x3 offset select ---
-    def shifted(img, dv, du):
-        a = 1
-        p = jnp.pad(img, a)
-        return p[a + dv:a + dv + rows, a + du:a + du + cols]
-
-    fields = ("x", "y", "z", "conf", "r", "g", "b", "hist", "init_time",
-              "last_time", "nx", "ny", "nz", "radius")
-    sel = {f: jnp.zeros((rows, cols)) for f in fields}
-    for dv in (-1, 0, 1):
-        for du in (-1, 0, 1):
-            m = (route.best_dv == dv) & (route.best_du == du)
-            for f in fields:
-                sel[f] = jnp.where(m, shifted(getattr(merged, f), dv, du),
-                                   sel[f])
-
-    t_par = jnp.asarray(tick, jnp.int32) % 2
-    sub = lambda a: active_subgrid(a, t_par)
-    P = (rows // 2) * (cols // 2)
-
-    lpos = jnp.stack([sub(sel["x"]).ravel(), sub(sel["y"]).ravel(),
-                      sub(sel["z"]).ravel()], axis=1)
-    lnrm = jnp.stack([sub(sel["nx"]).ravel(), sub(sel["ny"]).ravel(),
-                      sub(sel["nz"]).ravel()], axis=1)
-    R, t = pose[:3, :3], pose[:3, 3]
-    wpos = lpos @ R.T + t
-    wnrm = lnrm @ R.T
-    col = lambda f: sub(sel[f]).ravel()[:, None]
-    payload_upd = jnp.concatenate([
-        wpos, col("conf"), col("r"), col("g"), col("b"),
-        col("hist"), col("init_time"), col("last_time"),
-        wnrm, col("radius"), jnp.ones((P, 1))], axis=1)
-    matched_sub = sub(route.matched).ravel()
-    tgt_upd = jnp.where(matched_sub, sub(route.best_id).ravel(),
-                        smap.capacity)
-
-    # ---- append new surfels at the high-water mark (same as full path) ---
-    max_new = new.is_new.shape[0]
-    rank = jnp.cumsum(new.is_new.astype(jnp.int32)) - 1
-    slot = smap.used + rank
-    ins = new.is_new & (slot < smap.capacity)
-    tgt_ins = jnp.where(ins, slot, smap.capacity)
-    n_new = jnp.where(max_new > 0, rank[-1] + 1, 0)
-    used = jnp.minimum(smap.capacity, smap.used + n_new).astype(jnp.int32)
-
-    colv = lambda a: a[:, None]
-    tick_col = jnp.full((max_new, 1), tickf)
-    payload_ins = jnp.concatenate([
-        new.pos, colv(new.conf), new.color, jnp.ones((max_new, 1)),
-        tick_col, tick_col, new.normal, colv(new.radius),
-        colv(ins.astype(jnp.float32))], axis=1)
-
-    base = jnp.concatenate([
-        smap.pos, colv(smap.conf), smap.color, colv(smap.hist),
-        colv(smap.init_time), colv(smap.last_time), smap.normal,
-        colv(smap.radius), colv(keep_elem.astype(jnp.float32))], axis=1)
-
-    all_tgt = jnp.concatenate([tgt_upd, tgt_ins])
-    all_payload = jnp.concatenate([payload_upd, payload_ins])
-    out = base.at[all_tgt].set(all_payload, mode="drop")
-
-    return SurfelMap(
-        pos=out[:, 0:3], conf=out[:, 3], color=out[:, 4:7],
-        hist=out[:, 7], init_time=out[:, 8], last_time=out[:, 9],
-        normal=out[:, 10:13], radius=out[:, 13],
-        valid=out[:, 14] > 0.5,
-        used=used,
-    )

@@ -40,22 +40,12 @@ class SlamState(NamedTuple):
     # merged texel images at the end of the last fuse (the reference
     # re-renders the map at the same pose at the start of each frame).
     pred: PredictedView
-    # Carried texel snapshot for the incremental index-map render
-    # (fusion/incremental.py); None (an empty pytree leaf) when
-    # config.fusion.incremental_every is off, so the step's structure is
-    # unchanged for the default config.
-    carried: object = None
 
 
 def init_state(config: SFConfig) -> SlamState:
-    from staticfusion_tpu.fusion import incremental
-
     rows, cols = config.rows, config.cols
     L = config.buffer_length
-    carried = (incremental.empty_carried(rows, cols)
-               if config.fusion.incremental_every > 1 else None)
     return SlamState(
-        carried=carried,
         smap=empty_map(config.fusion.capacity),
         curr_pose=jnp.eye(4),
         tick=jnp.asarray(1, jnp.int32),

@@ -170,7 +170,7 @@ def slam_step(state: SlamState, frame: Frame, config: SFConfig):
 
     fused = backend.fuse_frame(state.smap, state.curr_pose, sol.T_odometry,
                                raw_m, filt_m, frame.rgb, static_prob,
-                               state.tick, config, carried=state.carried)
+                               state.tick, config)
 
     rings = _store_ring(state.rings, im_count % config.buffer_length,
                         filt_m, intensity_cur, sol.T_odometry)
@@ -187,7 +187,6 @@ def slam_step(state: SlamState, frame: Frame, config: SFConfig):
         prev_filt_depth=filt_m,
         prev_static_prob=static_prob,
         per_cluster_residual=per_cluster,
-        carried=fused.carried,
     )
     out = StepOutputs(curr_pose=fused.curr_pose, T_odometry=sol.T_odometry,
                       static_prob=static_prob, labels=sol.clustering.labels[0],

@@ -82,15 +82,6 @@ class SlamSystem:
                           > smap.capacity)
         if tier != smap.capacity or watermark_full:
             self.state = self.state._replace(smap=compact_map(smap, tier))
-            self._invalidate_carried()
-
-    def _invalidate_carried(self):
-        """Compaction / deformation moves surfel slots; the incremental
-        render's carried snapshot (fusion/incremental.py) holds stale ids
-        and local coords — force the next fuse to a full render."""
-        if self.state is not None and self.state.carried is not None:
-            self.state = self.state._replace(
-                carried=self.state.carried._replace(ok=jnp.asarray(False)))
 
     def _to_frame(self, rgb: np.ndarray, depth_mm: np.ndarray) -> Frame:
         return Frame(rgb=jnp.asarray(rgb, jnp.float32),
@@ -159,7 +150,6 @@ class SlamSystem:
                         smap=keyframes.deform_map(
                             self.state.smap, fidx, chain, opt,
                             cur_node + 1))
-                self._invalidate_carried()
                 out = out._replace(curr_pose=pose)
                 self.loop_closures.append({
                     "frame": n, "keyframe": int(db.frame_idx[k]),
