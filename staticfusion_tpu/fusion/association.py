@@ -195,12 +195,12 @@ def _window_search(tex: TexelImages,
                    best_du=best_du, raw=raw, filt=filt, meas_conf=meas_conf)
 
 
-def _new_surfels(search: _Search, is_new: jnp.ndarray, rgb: jnp.ndarray,
+def _new_surfels(raw, filt, is_new: jnp.ndarray, rgb: jnp.ndarray,
                  static_prob: jnp.ndarray, pose: jnp.ndarray, t_par,
                  config: SFConfig) -> NewSurfels:
-    """New-measurement attributes (data.vert:83-106): position from raw
-    depth, normal/radius from filtered depth, new-unstable conf 0.08 iff
-    probStatic > 0.5 (data.vert:171-180).
+    """New-measurement attributes (data.vert:83-106): position from the raw
+    frame cloud, normal/radius from the filtered one, new-unstable conf 0.08
+    iff probStatic > 0.5 (data.vert:171-180).
 
     Arrays are compacted to the checkerboard-active subgrid (is_new is a
     subset of `active`), in the same row-major order as the full grid, so
@@ -209,8 +209,8 @@ def _new_surfels(search: _Search, is_new: jnp.ndarray, rgb: jnp.ndarray,
     fus = config.fusion
     R, t = pose[:3, :3], pose[:3, 3]
     sub = lambda a: active_subgrid(a, t_par)
-    world_pos = sub(search.raw.pos).reshape(-1, 3) @ R.T + t
-    world_nrm = sub(search.filt.normal).reshape(-1, 3) @ R.T
+    world_pos = sub(raw.pos).reshape(-1, 3) @ R.T + t
+    world_nrm = sub(filt.normal).reshape(-1, 3) @ R.T
     new_conf = jnp.where(
         sub(static_prob).ravel() > fus.new_static_prob_gate,
         fus.new_unstable_conf, 0.0)
@@ -220,7 +220,7 @@ def _new_surfels(search: _Search, is_new: jnp.ndarray, rgb: jnp.ndarray,
         conf=new_conf,
         color=sub(rgb).reshape(-1, 3),
         normal=world_nrm,
-        radius=sub(search.filt.radius).ravel(),
+        radius=sub(filt.radius).ravel(),
     )
 
 
@@ -290,7 +290,8 @@ def associate_texels(tex: TexelImages,
         pos=img3(0), conf=img(3), color=img3(4), normal=img3(7),
         radius=img(10),
     )
-    new = _new_surfels(s, is_new, rgb, static_prob, pose, t_par, config)
+    new = _new_surfels(s.raw, s.filt, is_new, rgb, static_prob, pose, t_par,
+                       config)
     return upd, new
 
 
@@ -356,6 +357,6 @@ def associate(smap_capacity: int,
         radius=rec[:, 10],
     )
 
-    new = _new_surfels(s, is_new, rgb, static_prob, pose,
+    new = _new_surfels(s.raw, s.filt, is_new, rgb, static_prob, pose,
                        jnp.asarray(tick, jnp.int32) % 2, config)
     return AssociationResult(updates=updates, new=new)

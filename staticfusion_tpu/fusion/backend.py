@@ -12,13 +12,14 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from staticfusion_tpu.config import SFConfig
-from staticfusion_tpu.fusion import predict
+from staticfusion_tpu.fusion import predict, sparse
 from staticfusion_tpu.fusion.association import associate, associate_texels
-from staticfusion_tpu.fusion.clean import (clean_and_insert, window_kill_tex,
+from staticfusion_tpu.fusion.clean import (clean_and_insert,
+                                           kill_mask_from_tex,
+                                           window_kill_tex,
                                            writeback_and_insert)
 from staticfusion_tpu.fusion.indexmap import predict_indices
 from staticfusion_tpu.fusion.surfels import SurfelMap
@@ -61,13 +62,20 @@ def fuse_frame(smap: SurfelMap,
                tick: jnp.ndarray,
                config: SFConfig,
                weight_multiplier: float = 1.0) -> FuseResult:
-    """One steady-state map update (Reconstruction.cpp:261-313), texel-space
-    path: render -> texel-routed association -> elementwise merge + window
-    kill in texel space -> ONE combined write-back/insert scatter -> splat
-    the merged texels into next frame's prediction.
+    """One steady-state map update (Reconstruction.cpp:261-313).
 
     `tick` is the reconstruction frame counter (>= 2 here; tick 1 is
-    `initialise_map`)."""
+    `initialise_map`).  Index factor 1 (the camera-res default) takes the
+    texel-space path: render -> texel-routed association -> elementwise
+    merge + window kill in texel space -> ONE combined write-back/insert
+    scatter -> splat the merged texels into next frame's prediction.
+    Even super-resolution factors (the reference's FACTOR=4,
+    IndexMap.cpp:21) take the surfel-major sparse path (fusion/sparse.py),
+    whose indexed-op cost stays O(capacity) instead of O(F^2 H W)."""
+    if sparse.supports_sparse(config):
+        return fuse_frame_sparse(smap, curr_pose, T_odometry, raw_depth_m,
+                                 filtered_depth_m, rgb, static_prob, tick,
+                                 config, weight_multiplier)
     fus = config.fusion
     last_pose = curr_pose
     curr_pose = curr_pose @ T_odometry
@@ -93,6 +101,50 @@ def fuse_frame(smap: SurfelMap,
                 & (merged.z > fus.predict_z_min))
     pred = predict.splat_from_texels(merged._replace(has=pred_has), config)
     return FuseResult(smap=smap, curr_pose=curr_pose, pred=pred)
+
+
+def fuse_frame_sparse(smap: SurfelMap,
+                      curr_pose: jnp.ndarray,
+                      T_odometry: jnp.ndarray,
+                      raw_depth_m: jnp.ndarray,
+                      filtered_depth_m: jnp.ndarray,
+                      rgb: jnp.ndarray,
+                      static_prob: jnp.ndarray,
+                      tick: jnp.ndarray,
+                      config: SFConfig,
+                      weight_multiplier: float = 1.0) -> FuseResult:
+    """The F>1 fuse (fusion/sparse.py design): surfel-major association on
+    the F-resolution z-buffer -> slot-space merge (update.vert math) ->
+    camera-res render of the post-merge map for the clean window test and
+    the prediction splat (the reference's combinedPredict renders at camera
+    resolution too, IndexMap.cpp:221-303) -> elementwise lifecycle +
+    watermark insert."""
+    fus = config.fusion
+    cfg1 = sparse.camera_res_config(config)
+    last_pose = curr_pose
+    curr_pose = curr_pose @ T_odometry
+    weighting = velocity_weighting(curr_pose, last_pose, weight_multiplier,
+                                   config)
+
+    local = sparse.project_surfels(smap, curr_pose, config)
+    assoc = sparse.associate_sparse(smap, local, raw_depth_m,
+                                    filtered_depth_m, rgb, static_prob,
+                                    curr_pose, tick, weighting, config)
+    merged_map = apply_updates(smap, assoc.updates, tick, config)
+
+    # Post-merge camera-res render: the clean test sees post-update
+    # attributes (the reference re-renders before clean,
+    # Reconstruction.cpp:300) and the splat feeds next frame's prediction.
+    tex1, _ = predict_indices(merged_map, curr_pose, tick, cfg1)
+    kill_tex = window_kill_tex(tex1, tick, cfg1)
+    killed = kill_mask_from_tex(kill_tex, tex1.idx, merged_map.capacity)
+    smap_out = sparse.lifecycle_and_insert(merged_map, killed, assoc.new,
+                                           tick, config)
+
+    pred_has = (tex1.has & ~kill_tex & (tex1.conf >= fus.low_conf)
+                & (tex1.z > fus.predict_z_min))
+    pred = predict.splat_from_texels(tex1._replace(has=pred_has), cfg1)
+    return FuseResult(smap=smap_out, curr_pose=curr_pose, pred=pred)
 
 
 def fuse_frame_slots(smap: SurfelMap,

@@ -116,18 +116,24 @@ def window_kill_tex(tex: TexelImages, tick: jnp.ndarray,
                        | (zcount > fus.clean_free_space_count * mult))
 
 
-def window_kill_mask(tex: TexelImages, local: SurfelsLocal,
-                     tick: jnp.ndarray, config: SFConfig) -> jnp.ndarray:
-    """(capacity,) bool — slot-space window-kill verdict (the compat path;
-    the production pipeline keeps the verdict in texel space)."""
-    kill_tex = window_kill_tex(tex, tick, config)
-    capacity = local.pos.shape[0]
-    # Non-killing texels route out of bounds and are dropped (a shared
-    # in-bounds sentinel slot would serialize the duplicate group).
-    tgt = jnp.where(kill_tex.ravel(), tex.idx.ravel(), capacity)
+def kill_mask_from_tex(kill_tex: jnp.ndarray, idx: jnp.ndarray,
+                       capacity: int) -> jnp.ndarray:
+    """Texel-space kill verdicts -> (capacity,) slot mask (one row scatter).
+    Non-killing texels route out of bounds and are dropped (a shared
+    in-bounds sentinel slot would serialize the duplicate group)."""
+    tgt = jnp.where(kill_tex.ravel(), idx.ravel(), capacity)
     killed = jnp.zeros((capacity,), jnp.int32).at[tgt].max(
         jnp.ones((tgt.shape[0],), jnp.int32), mode="drop")
     return killed > 0
+
+
+def window_kill_mask(tex: TexelImages, capacity: int,
+                     tick: jnp.ndarray, config: SFConfig) -> jnp.ndarray:
+    """(capacity,) bool — slot-space window-kill verdict (used by the
+    slot-routed compat path and the sparse F>1 fuse; the F=1 texel pipeline
+    keeps the verdict in texel space)."""
+    kill_tex = window_kill_tex(tex, tick, config)
+    return kill_mask_from_tex(kill_tex, tex.idx, capacity)
 
 
 def clean_and_insert(smap: SurfelMap,
@@ -139,7 +145,8 @@ def clean_and_insert(smap: SurfelMap,
     fus = config.fusion
     tickf = jnp.asarray(tick, jnp.float32)
 
-    keep = smap.valid & ~window_kill_mask(tex, local, tick, config)
+    del local
+    keep = smap.valid & ~window_kill_mask(tex, smap.capacity, tick, config)
     # Unstable too long with low confidence, or zero-confidence
     # (copy_unstable.vert:118-122).
     too_old_unstable = ((tickf - smap.last_time) > fus.clean_unstable_age) & \

@@ -1,0 +1,241 @@
+"""Sparse (surfel-major) F>1 fuse path vs the pixel-major oracle.
+
+The sparse path (fusion/sparse.py) must reproduce the data.vert association
+semantics of the texel-space window search (association._window_search /
+associate) at the reference FACTOR=4 — same candidate sets, same gates,
+same per-pixel winners — while touching only O(capacity) indexed elements.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from staticfusion_tpu.config import SFConfig, CameraConfig, FusionConfig
+from staticfusion_tpu.fusion import backend, indexmap, sparse, surfels
+from staticfusion_tpu.fusion.association import associate
+from staticfusion_tpu.fusion.texelmap import window_offsets
+from staticfusion_tpu.ops.zbuffer import INVALID
+
+
+def _cfg(F=4, cap=1 << 13):
+    return SFConfig(camera=CameraConfig(width=80, height=60),
+                    fusion=FusionConfig(capacity=cap, index_factor=F))
+
+
+def _scene(seed=0, depth=2.0, jitter=0.15):
+    rng = np.random.RandomState(seed)
+    rows, cols = 60, 80
+    d = depth + jitter * rng.rand(rows, cols).astype(np.float32)
+    # Smooth out so normals are sane but geometry is not degenerate.
+    d = (d + np.roll(d, 1, 0) + np.roll(d, 1, 1) + np.roll(d, 2, 1)) / 4.0
+    yy, xx = np.mgrid[0:rows, 0:cols].astype(np.float32)
+    rgb = np.stack([0.5 + 0.4 * np.sin(xx / 17.0),
+                    0.5 + 0.4 * np.cos(yy / 13.0),
+                    0.5 + 0.4 * np.sin((xx + yy) / 23.0)], axis=-1)
+    return d.astype(np.float32), rgb.astype(np.float32)
+
+
+def _init_map(config, seed=0):
+    d, rgb = _scene(seed)
+    sp = np.full(d.shape, 0.9, np.float32)
+    smap = surfels.initialise_map(config.fusion.capacity, jnp.asarray(d),
+                                  jnp.asarray(d), jnp.asarray(rgb),
+                                  jnp.asarray(sp), jnp.eye(4), config)
+    return smap, d, rgb
+
+
+def test_candidate_pixel_inversion_property():
+    """candidate_pixel() must agree with brute-force window enumeration:
+    for every texel t, the active pixels whose window_offsets window
+    contains t — exactly one at even F."""
+    for F in (2, 4, 8):
+        offs = list(window_offsets(F))
+        for t_par in (0, 1):
+            for t in range(-3, 40):
+                want = [u for u in range(-4, 12)
+                        if u % 2 == t_par and (t - F * u) in offs]
+                act, ok = sparse.candidate_pixel(
+                    jnp.asarray([t], jnp.int32), jnp.asarray(t_par, jnp.int32),
+                    F, 12)
+                act, ok = int(act[0]), bool(ok[0])
+                want_in = [u for u in want if 0 <= u < 12]
+                assert len(want_in) <= 1, (F, t_par, t, want_in)
+                if want_in:
+                    assert ok and act == want_in[0], (F, t_par, t, act, want_in)
+                else:
+                    # No active in-bounds pixel sees this texel.
+                    assert not ok or act not in range(0, 12) or \
+                        [u for u in range(0, 12)
+                         if u % 2 == t_par and (t - F * u) in offs] == [act]
+
+
+def test_sparse_association_matches_pixel_major_oracle():
+    """Surfel-major association == the texel-path window search, F=4."""
+    config = _cfg(F=4)
+    smap, d, rgb = _init_map(config)
+    rng = np.random.RandomState(1)
+    # A slightly different measurement frame (like one step of real drift).
+    d2 = d + 0.004 * rng.randn(*d.shape).astype(np.float32)
+    sp = np.full(d.shape, 0.8, np.float32)
+    tick = jnp.asarray(4, jnp.int32)
+    w = jnp.asarray(0.9)
+
+    tex, local = indexmap.predict_indices(smap, jnp.eye(4), tick, config)
+    oracle = associate(smap.capacity, tex, jnp.asarray(d2), jnp.asarray(d2),
+                       jnp.asarray(rgb), jnp.asarray(sp), jnp.eye(4), tick,
+                       w, config)
+    got = sparse.associate_sparse(smap, local, jnp.asarray(d2),
+                                  jnp.asarray(d2), jnp.asarray(rgb),
+                                  jnp.asarray(sp), jnp.eye(4), tick, w,
+                                  config)
+
+    has_o = np.asarray(oracle.updates.has_update)
+    has_s = np.asarray(got.updates.has_update)
+    # The winner sets must agree except for quantized-distance ties, which
+    # are measure-zero on this jittered scene.
+    assert has_o.sum() > 100
+    np.testing.assert_array_equal(has_s, has_o)
+    m = has_o
+    np.testing.assert_allclose(np.asarray(got.updates.pos)[m],
+                               np.asarray(oracle.updates.pos)[m], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.updates.conf)[m],
+                               np.asarray(oracle.updates.conf)[m], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.updates.normal)[m],
+                               np.asarray(oracle.updates.normal)[m],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.updates.radius)[m],
+                               np.asarray(oracle.updates.radius)[m],
+                               atol=1e-6)
+    # New-surfel candidates agree too.
+    np.testing.assert_array_equal(np.asarray(got.new.is_new),
+                                  np.asarray(oracle.new.is_new))
+    np.testing.assert_allclose(np.asarray(got.new.pos),
+                               np.asarray(oracle.new.pos), atol=1e-6)
+
+
+def test_sparse_association_matches_oracle_f2():
+    config = _cfg(F=2)
+    smap, d, rgb = _init_map(config, seed=3)
+    rng = np.random.RandomState(5)
+    d2 = d + 0.003 * rng.randn(*d.shape).astype(np.float32)
+    sp = np.full(d.shape, 0.7, np.float32)
+    tick = jnp.asarray(5, jnp.int32)  # odd parity branch
+    w = jnp.asarray(1.0)
+    tex, local = indexmap.predict_indices(smap, jnp.eye(4), tick, config)
+    oracle = associate(smap.capacity, tex, jnp.asarray(d2), jnp.asarray(d2),
+                       jnp.asarray(rgb), jnp.asarray(sp), jnp.eye(4), tick,
+                       w, config)
+    got = sparse.associate_sparse(smap, local, jnp.asarray(d2),
+                                  jnp.asarray(d2), jnp.asarray(rgb),
+                                  jnp.asarray(sp), jnp.eye(4), tick, w,
+                                  config)
+    has_o = np.asarray(oracle.updates.has_update)
+    assert has_o.sum() > 100
+    np.testing.assert_array_equal(np.asarray(got.updates.has_update), has_o)
+    np.testing.assert_allclose(np.asarray(got.updates.pos)[has_o],
+                               np.asarray(oracle.updates.pos)[has_o],
+                               atol=1e-6)
+
+
+def test_zbuffer_winners_match_texel_render():
+    """zbuffer_winners' verdict == the winner image of the materializing
+    render (same packed keys, same tie rules)."""
+    config = _cfg(F=4)
+    smap, d, _ = _init_map(config)
+    tick = jnp.asarray(2, jnp.int32)
+    tex, local = indexmap.predict_indices(smap, jnp.eye(4), tick, config)
+    ok, is_win = sparse.zbuffer_winners(smap, local, tick, config)
+    winners_img = np.asarray(tex.idx)
+    winners_img = winners_img[winners_img != INVALID]
+    win_ids = np.flatnonzero(np.asarray(is_win))
+    np.testing.assert_array_equal(np.sort(winners_img), np.sort(win_ids))
+
+
+def test_fuse_frame_sparse_full_cycle():
+    """Dispatch + full fuse at F=4: map stays stable on a re-observation,
+    confidences grow, prediction reproduces the scene."""
+    config = _cfg(F=4)
+    smap, d, rgb = _init_map(config)
+    res = backend.fuse_frame(
+        smap, jnp.eye(4), jnp.eye(4), jnp.asarray(d), jnp.asarray(d),
+        jnp.asarray(rgb), jnp.ones(d.shape), jnp.asarray(2, jnp.int32),
+        config)
+    assert abs(int(res.smap.count()) - int(smap.count())) < 0.02 * d.size
+    matched = np.asarray(res.smap.last_time) == 2.0
+    assert matched.sum() > 0.15 * d.size
+    assert float(jnp.mean(res.smap.conf[matched])) > float(
+        jnp.mean(smap.conf[matched]))
+    depth = np.asarray(res.pred.depth)
+    inner = depth[4:-4, 4:-4]
+    dref = np.asarray(d)[4:-4, 4:-4]
+    assert (inner > 0).mean() > 0.9
+    # Ray-disk splats legitimately hit neighboring surfels' tilted disks on
+    # this jittered terrain (radius ~ z/f ~ 3 cm here); the F=1 production
+    # path measures the identical error profile on this scene.  Demand the
+    # bulk tracks the surface at the disk-radius scale.
+    err = np.abs(inner[inner > 0] - dref[inner > 0])
+    assert np.median(err) < 0.03
+    assert np.quantile(err, 0.9) < 0.06
+
+
+def test_lifecycle_and_insert_kill_age_and_append():
+    config = _cfg(F=4)
+    cap = 256
+    smap = surfels.empty_map(cap)
+    n = 16
+    smap = smap._replace(
+        pos=smap.pos.at[:n].set(1.0),
+        conf=smap.conf.at[:n].set(0.6),
+        hist=smap.hist.at[:n].set(2.0),
+        init_time=smap.init_time.at[:n].set(1.0),
+        last_time=smap.last_time.at[:n].set(20.0),
+        valid=smap.valid.at[:n].set(True),
+        used=jnp.asarray(n, jnp.int32),
+    )
+    # Slot 3: window-killed.  Slot 5: old unstable with low conf.
+    killed = jnp.zeros((cap,), bool).at[3].set(True)
+    smap = smap._replace(conf=smap.conf.at[5].set(0.2),
+                         last_time=smap.last_time.at[5].set(2.0))
+    P = 8
+    new = sparse.NewSurfels(
+        is_new=jnp.zeros((P,), bool).at[jnp.asarray([1, 4])].set(True),
+        pos=jnp.full((P, 3), 2.0), conf=jnp.full((P,), 0.08),
+        color=jnp.full((P, 3), 0.5), normal=jnp.full((P, 3), 0.5),
+        radius=jnp.full((P,), 0.01))
+    out = sparse.lifecycle_and_insert(smap, killed, new,
+                                      jnp.asarray(30, jnp.int32), config)
+    valid = np.asarray(out.valid)
+    assert not valid[3]            # window kill
+    assert not valid[5]            # too-old unstable
+    assert valid[[0, 1, 2, 4]].all()
+    # Two inserts at the watermark.
+    assert valid[n] and valid[n + 1]
+    assert int(out.used) == n + 2
+    np.testing.assert_allclose(np.asarray(out.conf)[n:n + 2], 0.08)
+    np.testing.assert_allclose(np.asarray(out.init_time)[n:n + 2], 30.0)
+
+
+def test_sparse_multiframe_trajectory_smoke():
+    """A few slam_step frames at F=4 behave like F=1 on a static scene."""
+    from staticfusion_tpu.io import synthetic
+    from staticfusion_tpu.pipeline.step import Frame, bootstrap_step, slam_step
+
+    twist = np.array([0.004, -0.002, 0.006, 0.0015, -0.001, 0.002],
+                     np.float32)
+    poses = {}
+    for F in (1, 4):
+        config = SFConfig(camera=CameraConfig(width=80, height=60),
+                          fusion=FusionConfig(capacity=1 << 13,
+                                              index_factor=F))
+        frames, gt = synthetic.make_sequence(config, 6, twist)
+
+        def to_frame(i):
+            rgb, depth_mm, _ = frames[i]
+            return Frame(rgb=jnp.asarray(rgb), depth_mm=jnp.asarray(depth_mm))
+
+        state, _ = bootstrap_step(to_frame(0), to_frame(1), jnp.eye(4),
+                                  config)
+        for i in range(2, 6):
+            state, out = slam_step(state, to_frame(i), config)
+        poses[F] = np.asarray(out.curr_pose)
+    # Both factors track the same synthetic motion to within a few mm.
+    assert np.linalg.norm(poses[1][:3, 3] - poses[4][:3, 3]) < 0.01
