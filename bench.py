@@ -34,11 +34,14 @@ def main():
 
     from staticfusion_tpu.config import CameraConfig
 
-    # Index-map super-resolution factor (reference FACTOR=4, IndexMap.cpp:21).
+    # Index-map super-resolution factor (reference FACTOR=4, IndexMap.cpp:21)
+    # and the post-merge clean/splat factor (0 = same as index factor).
     factor = int(os.environ.get("SF_BENCH_FACTOR", "1"))
+    post = int(os.environ.get("SF_BENCH_POST_FACTOR", "0"))
     config = SFConfig(camera=CameraConfig(width=640 // rf, height=480 // rf),
                       fusion=FusionConfig(capacity=capacity,
-                                          index_factor=factor))
+                                          index_factor=factor,
+                                          post_factor=post))
 
     twist = np.array([0.004, -0.002, 0.006, 0.0015, -0.001, 0.002], np.float32)
     # A real forward sequence (n_iters steady frames): benchmarking repeated
@@ -57,10 +60,13 @@ def main():
     # Repack the map into the live-count tier (what SlamSystem does every
     # few frames); the scan below then measures steady-state cost at the
     # honest map size, with headroom for the run's insertions.
-    from staticfusion_tpu.fusion.surfels import compact_map, next_pow2
+    from staticfusion_tpu.fusion.surfels import compact_map, next_tier
 
     count = int(state.smap.count())
-    tier = min(capacity, max(4096, next_pow2(count + count // 4 + 4096)))
+    # Headroom sized to observed steady-state insert rates (hundreds/frame
+    # at QVGA); the watermark check below catches any overflow, which would
+    # silently turn insertions into map-full drops and skew the measurement.
+    tier = min(capacity, max(4096, next_tier(count + count // 8 + 2048)))
     state = state._replace(smap=compact_map(state.smap, tier))
 
     # Device-resident frame loop: scan over a preloaded frame batch so the
@@ -90,9 +96,12 @@ def main():
         np.asarray(counts[-1])  # sync (block_until_ready lies on axon)
 
     t0 = time.perf_counter()
-    _, counts = run_batch(state, batch)
+    end_state, counts = run_batch(state, batch)
     np.asarray(counts[-1])
     dt = time.perf_counter() - t0
+    if int(end_state.smap.used) >= tier:
+        print(f"WARNING: insert watermark hit the {tier}-slot tier; "
+              "fps reflects map-full behavior", file=sys.stderr)
 
     fps = n_iters / dt
     print(json.dumps({

@@ -22,7 +22,7 @@ N = int(os.environ.get("SF_ABLATE_ITERS", "30"))
 
 def build(config):
     from staticfusion_tpu.pipeline.step import Frame, bootstrap_step, slam_step
-    from staticfusion_tpu.fusion.surfels import compact_map, next_pow2
+    from staticfusion_tpu.fusion.surfels import compact_map, next_tier
 
     twist = np.array([0.004, -0.002, 0.006, 0.0015, -0.001, 0.002],
                      np.float32)
@@ -34,7 +34,7 @@ def build(config):
 
     state, _ = bootstrap_step(to_frame(0), to_frame(1), jnp.eye(4), config)
     count = int(state.smap.count())
-    tier = max(4096, next_pow2(count + count // 4 + 4096))
+    tier = max(4096, next_tier(count + count // 4 + 4096))
     state = state._replace(smap=compact_map(state.smap, tier))
     batch = Frame(
         rgb=jnp.stack([to_frame(2 + i).rgb for i in range(N)]),
@@ -95,6 +95,7 @@ def main():
     import staticfusion_tpu.solver.clustering as clustering_mod
     import staticfusion_tpu.fusion.indexmap as indexmap
     import staticfusion_tpu.fusion.association as association
+    import staticfusion_tpu.fusion.sparse as sparse_mod
     import staticfusion_tpu.ops.warp as warp_mod
 
     def zeroed(orig):
@@ -131,6 +132,17 @@ def main():
          [indexmap, backend]),
         ("associate_texels", zeroed(association.associate_texels),
          [association, backend]),
+        # Sparse (F>1) path stages.
+        ("associate_sparse", zeroed(sparse_mod.associate_sparse),
+         [sparse_mod, backend]),
+        ("zbuffer_winners", zeroed(sparse_mod.zbuffer_winners),
+         [sparse_mod]),
+        ("lifecycle_and_insert",
+         lambda smap, killed, new, tick, config: smap,
+         [sparse_mod, backend]),
+        ("materialize_from_winners",
+         zeroed(sparse_mod.materialize_from_winners),
+         [sparse_mod, backend]),
     ]
 
     only = os.environ.get("SF_ABLATE_ONLY")

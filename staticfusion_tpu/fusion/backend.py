@@ -115,12 +115,13 @@ def fuse_frame_sparse(smap: SurfelMap,
                       weight_multiplier: float = 1.0) -> FuseResult:
     """The F>1 fuse (fusion/sparse.py design): surfel-major association on
     the F-resolution z-buffer -> slot-space merge (update.vert math) ->
-    camera-res render of the post-merge map for the clean window test and
-    the prediction splat (the reference's combinedPredict renders at camera
-    resolution too, IndexMap.cpp:221-303) -> elementwise lifecycle +
-    watermark insert."""
+    `post_factor`-resolution render of the post-merge map for the clean
+    window test and the prediction splat (reference fidelity re-renders at
+    FACTOR=4 before clean, Reconstruction.cpp:300; the capacity-bound
+    materialization keeps its indexed cost O(capacity)) -> elementwise
+    lifecycle + watermark insert."""
     fus = config.fusion
-    cfg1 = sparse.camera_res_config(config)
+    cfg1 = sparse.post_factor_config(config)
     last_pose = curr_pose
     curr_pose = curr_pose @ T_odometry
     weighting = velocity_weighting(curr_pose, last_pose, weight_multiplier,
@@ -132,10 +133,19 @@ def fuse_frame_sparse(smap: SurfelMap,
                                     curr_pose, tick, weighting, config)
     merged_map = apply_updates(smap, assoc.updates, tick, config)
 
-    # Post-merge camera-res render: the clean test sees post-update
-    # attributes (the reference re-renders before clean,
-    # Reconstruction.cpp:300) and the splat feeds next frame's prediction.
-    tex1, _ = predict_indices(merged_map, curr_pose, tick, cfg1)
+    # Post-merge render for the clean window test + prediction splat: the
+    # clean test sees post-update attributes (the reference re-renders
+    # before clean, Reconstruction.cpp:300).  At post factor == index
+    # factor the association's z-buffer winner set is reused, skipping the
+    # second z-buffer entirely (sparse.materialize_from_winners); other
+    # post factors need their own z-buffer at that grid.
+    if cfg1.fusion.index_factor == fus.index_factor:
+        local_m = sparse.project_surfels(merged_map, curr_pose, config)
+        tex1 = sparse.materialize_from_winners(merged_map, local_m,
+                                               assoc.is_winner, assoc.flat,
+                                               config)
+    else:
+        tex1, _ = predict_indices(merged_map, curr_pose, tick, cfg1)
     kill_tex = window_kill_tex(tex1, tick, cfg1)
     killed = kill_mask_from_tex(kill_tex, tex1.idx, merged_map.capacity)
     smap_out = sparse.lifecycle_and_insert(merged_map, killed, assoc.new,

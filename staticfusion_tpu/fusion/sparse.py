@@ -76,6 +76,20 @@ def camera_res_config(config: SFConfig) -> SFConfig:
         fusion=dataclasses.replace(config.fusion, index_factor=1))
 
 
+def post_factor_config(config: SFConfig) -> SFConfig:
+    """Config for the post-merge render (clean window test + prediction
+    splat): `post_factor` texels per pixel — 0 means full index_factor
+    fidelity (the reference refreshes its FACTOR=4 index map before clean,
+    Reconstruction.cpp:300, and its copy_unstable window discriminates
+    sub-pixel neighbors), 1 means camera resolution (cheapest; measured
+    accuracy trade in ACCURACY.md)."""
+    P = config.fusion.post_factor or config.fusion.index_factor
+    if P == config.fusion.index_factor:
+        return config
+    return config.replace(
+        fusion=dataclasses.replace(config.fusion, index_factor=P))
+
+
 def supports_sparse(config: SFConfig) -> bool:
     """Even super-resolution factors have the unique-active-candidate-pixel
     property (module docstring); F=1 keeps the texel path (its grid is
@@ -148,6 +162,8 @@ class SparseAssoc(NamedTuple):
     best_id: jnp.ndarray   # (H, W) int32 winner per pixel, INVALID if none
     matched: jnp.ndarray   # (H, W) bool
     active: jnp.ndarray    # (H, W) bool
+    is_winner: jnp.ndarray  # (capacity,) pre-merge z-buffer winners
+    flat: jnp.ndarray      # (capacity,) pre-merge flat texel index (S=cull)
 
 
 def associate_sparse(smap: SurfelMap,
@@ -274,8 +290,58 @@ def associate_sparse(smap: SurfelMap,
     )
     new = _new_surfels(raw, filt, is_new, rgb, static_prob, pose, t_par,
                        config)
+    S_tex = (cam.height * F) * (cam.width * F)
+    flat = jnp.where(ok, local.v4 * (cam.width * F) + local.u4, S_tex)
     return SparseAssoc(updates=updates, new=new, best_id=best_id,
-                       matched=matched, active=active)
+                       matched=matched, active=active, is_winner=is_win,
+                       flat=flat)
+
+
+def materialize_from_winners(smap: SurfelMap, local: SurfelsLocal,
+                             won: jnp.ndarray, flat: jnp.ndarray,
+                             config: SFConfig):
+    """Texel attribute images of `smap` (post-merge) on the F grid, reusing
+    a PRE-merge winner set — skips the second z-buffer scatter+gather of a
+    full re-render (the reference re-renders before clean,
+    Reconstruction.cpp:300; the merge moves winners by <= mm, so z-order
+    flips between the pre- and post-merge renders are rare and within the
+    GL raster nondeterminism the reference tolerates).  ONE wide
+    O(capacity) row-scatter; same capacity-bound scheme as
+    texelmap.render_texel_images' scatter branch."""
+    from staticfusion_tpu.fusion.texelmap import TexelImages
+
+    cam = config.camera
+    F = config.fusion.index_factor
+    rows4, cols4 = cam.height * F, cam.width * F
+    S = rows4 * cols4
+    ids = jnp.arange(smap.capacity, dtype=jnp.int32)
+
+    tgt = jnp.where(won, flat, S)
+    ids_f = jax.lax.bitcast_convert_type(ids, jnp.float32)
+    payload = jnp.concatenate([
+        local.pos, local.normal,
+        smap.radius[:, None], smap.conf[:, None],
+        smap.init_time[:, None], smap.last_time[:, None],
+        smap.color, smap.hist[:, None],
+        ids_f[:, None], jnp.ones((smap.capacity, 1)),
+    ], axis=1)
+    out = jnp.zeros((S, 16), jnp.float32).at[tgt].set(payload, mode="drop")
+
+    def I(col):
+        return out[:, col].reshape(rows4, cols4)
+
+    has = I(15) > 0.0
+    idx = jnp.where(has, jax.lax.bitcast_convert_type(out[:, 14], jnp.int32)
+                    .reshape(rows4, cols4), INT_MAX)
+    return TexelImages(
+        idx=idx, has=has,
+        x=I(0), y=I(1), z=I(2),
+        nx=I(3), ny=I(4), nz=I(5),
+        radius=I(6), conf=I(7),
+        init_time=I(8), last_time=I(9),
+        r=I(10), g=I(11), b=I(12),
+        hist=I(13),
+    )
 
 
 def lifecycle_and_insert(smap: SurfelMap,

@@ -64,6 +64,20 @@ def next_pow2(n: int) -> int:
     return 1 << max(0, (int(n) - 1).bit_length())
 
 
+def next_tier(n: int) -> int:
+    """Smallest map tier >= n from the {2^k, 1.5*2^k} ladder.
+
+    Every per-surfel indexed op costs ~50 ns/row on v5e regardless of
+    width, so tier slack is pure waste: pow2-only tiers leave up to 2x
+    slack (a 77k-surfel map pays for 131k rows).  The 1.5x mid-tiers cap
+    slack at 33% for ~1.5x more distinct compiled programs (tiers are
+    still geometric, ratio 1.33)."""
+    p = next_pow2(n)
+    if n <= (p >> 2) * 3:           # 1.5 * 2^(k-1) == 0.75 * 2^k
+        return (p >> 2) * 3
+    return p
+
+
 def compact_map(smap: SurfelMap, new_capacity: int) -> SurfelMap:
     """Pack the valid surfels into the prefix of a `new_capacity`-sized map.
 

@@ -99,7 +99,7 @@ def bootstrap_step(frame0: Frame, frame1: Frame, initial_pose: jnp.ndarray,
     # (SlamSystem._maybe_resize_map), so per-surfel pass costs track the
     # live surfel count — the reference's `count`-driven processing.
     cap0 = min(config.fusion.capacity,
-               surfels.next_pow2(frame1.depth_mm.size))
+               surfels.next_tier(frame1.depth_mm.size))
     smap = surfels.initialise_map(cap0, raw_m, filt_m,
                                   frame1.rgb, static_prob, pose, config)
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from staticfusion_tpu.config import SFConfig
-from staticfusion_tpu.fusion.surfels import compact_map, next_pow2
+from staticfusion_tpu.fusion.surfels import compact_map, next_tier
 from staticfusion_tpu.io import trajectory as traj_io
 from staticfusion_tpu.pipeline import keyframes
 from staticfusion_tpu.pipeline.step import (Frame, StepOutputs, bootstrap_step,
@@ -61,6 +61,7 @@ class SlamSystem:
                                           config.rows, config.cols)
                        if config.loop.enabled else None)
         self.loop_closures: List[dict] = []
+        self._scan_jit = None  # lazy chunked-scan program (process_batch)
 
     def _maybe_resize_map(self):
         self._frames_since_resize_check += 1
@@ -73,7 +74,7 @@ class SlamSystem:
         per_frame = (cam.height * cam.width + 3) // 4  # checkerboard bound
         headroom = count // 4 + self.resize_check_interval * per_frame // 4
         tier = min(self.config.fusion.capacity,
-                   max(4096, next_pow2(count + headroom)))
+                   max(4096, next_tier(count + headroom)))
         # Also repack (same tier) when the append high-water mark nears the
         # tier: inserts go to [used, capacity), so leaked kill-freed slots
         # must be reclaimed before `used` hits the wall.
@@ -112,6 +113,80 @@ class SlamSystem:
         self.frame_seconds.append(time.perf_counter() - t0)
         self._pending_metrics.append((timestamp, out))
         return out
+
+    def process_batch(self, rgbs, depth_mms, timestamps,
+                      collect_prob: bool = False):
+        """Device-resident batch processing: bootstrap as usual, then run
+        `resize_check_interval`-frame chunks under ONE `lax.scan` each, with
+        a single host sync + map-tier check between chunks.
+
+        Per-frame `process()` costs a host->device upload, a dispatch, and
+        a result sync per frame (~2 s/frame through the axon tunnel on the
+        accuracy suite); chunking amortizes that to one round-trip per 8
+        frames, which is what makes 100+-frame accuracy runs tractable.
+        Falls back to per-frame processing when loop closure is enabled
+        (closures are host-mediated decisions, pipeline/keyframes.py).
+
+        Returns the stacked per-frame static-probability images
+        (n_processed, H, W) when `collect_prob` (for segmentation IoU
+        scoring), else None."""
+        n = len(timestamps)
+        probs = [] if collect_prob else None
+        i = 0
+        if self._kf_db is not None:
+            for i in range(n):
+                out = self.process(rgbs[i], depth_mms[i], timestamps[i])
+                if collect_prob and out is not None:
+                    probs.append(out.static_prob[None])
+            return jnp.concatenate(probs) if probs else None
+
+        while i < n and self.state is None:
+            out = self.process(rgbs[i], depth_mms[i], timestamps[i])
+            if collect_prob and out is not None:
+                probs.append(out.static_prob[None])
+            i += 1
+
+        if self._scan_jit is None:
+            config = self.config
+
+            def run(state, batch):
+                def body(st, fr):
+                    st, out = slam_step(st, fr, config)
+                    return st, (out.curr_pose, out.static_prob, out.ddt_sum,
+                                out.surfel_count, out.dense)
+                return jax.lax.scan(body, state, batch)
+
+            self._scan_jit = jax.jit(run)
+
+        chunk = self.resize_check_interval
+        while i < n:
+            k = min(chunk, n - i)
+            t0 = time.perf_counter()
+            batch = Frame(
+                rgb=jnp.stack([jnp.asarray(r, jnp.float32)
+                               for r in rgbs[i:i + k]]),
+                depth_mm=jnp.stack([jnp.asarray(d, jnp.float32)
+                                    for d in depth_mms[i:i + k]]))
+            self.state, (cps, sps, ddts, counts, denses) = self._scan_jit(
+                self.state, batch)
+            for j in range(k):
+                self.times.append(timestamps[i + j])
+                self.poses.append(cps[j])
+                self.ddt_sums.append(ddts[j])
+                self._pending_metrics.append(
+                    (timestamps[i + j],
+                     StepOutputs(curr_pose=cps[j], T_odometry=None,
+                                 static_prob=None, labels=None, b_segm=None,
+                                 surfel_count=counts[j], dense=denses[j],
+                                 ddt_sum=ddts[j])))
+            if collect_prob:
+                probs.append(sps)
+            dt = time.perf_counter() - t0
+            self.frame_seconds.extend([dt / k] * k)
+            i += k
+            self._frames_since_resize_check = self.resize_check_interval
+            self._maybe_resize_map()
+        return jnp.concatenate(probs) if probs else None
 
     def _maybe_close_loop(self, frame: Frame, out: StepOutputs):
         """Every kf_interval frames: fingerprint, query the DB, and on a

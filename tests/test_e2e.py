@@ -202,3 +202,35 @@ def test_map_full_watermark_compaction():
     assert min(useds) < cap, (useds, counts)
     # The map stays substantial: compaction keeps the live set.
     assert counts[-1] > 0.5 * cap, counts
+
+
+def test_process_batch_matches_per_frame():
+    """The chunked-scan batch path (SlamSystem.process_batch) must
+    reproduce the per-frame path: same steps, same compaction exactness
+    (surfel slot ids are frame-local, so differing repack timing cannot
+    change values)."""
+    frames, gt = synthetic.make_sequence(CONFIG, 12, TWIST)
+    rgbs = [f[0] for f in frames]
+    depths = [f[1] for f in frames]
+    ts = [i / 30.0 for i in range(len(frames))]
+
+    a = SlamSystem(CONFIG)
+    for r, d, t in zip(rgbs, depths, ts):
+        a.process(r, d, t)
+    b = SlamSystem(CONFIG)
+    probs = b.process_batch(rgbs, depths, ts, collect_prob=True)
+
+    a._materialize_poses()
+    b._materialize_poses()
+    assert len(a.poses) == len(b.poses) == len(frames) - 1
+    # scan-body vs standalone-step compilation reassociates floats; the
+    # paths agree to ~1e-5 m (IRLS while-loops amplify ulps chaotically).
+    for pa, pb in zip(a.poses, b.poses):
+        np.testing.assert_allclose(pa, pb, atol=1e-3)
+    # One static-prob image per processed frame, finite and in range.
+    probs = np.asarray(probs)
+    assert probs.shape == (len(frames) - 1, CONFIG.rows, CONFIG.cols)
+    assert np.isfinite(probs).all() and (probs >= 0).all() and \
+        (probs <= 1).all()
+    # Metrics flow through the batch path too.
+    assert len(b.metrics) == len(frames) - 1
