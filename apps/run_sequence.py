@@ -78,9 +78,10 @@ def main(argv=None):
 
         slam.pose_postmultiply = ROTATE_BY_Z
     if args.resume:
-        from staticfusion_tpu.utils.checkpoint import load_state
+        from staticfusion_tpu.utils.checkpoint import load_archive, load_state
 
         slam.state = load_state(args.resume, config)
+        slam.archive = load_archive(args.resume)
         print(f"resumed from {args.resume} "
               f"(tick={int(slam.state.tick)})")
     logger = MetricsLogger(args.metrics, echo=args.metrics is None)
@@ -101,7 +102,7 @@ def main(argv=None):
     if args.ply:
         thr = (config.fusion.confidence_threshold
                if args.conf_threshold is None else args.conf_threshold)
-        save_ply(args.ply, slam.state.smap, thr)
+        save_ply(args.ply, slam.full_map(), thr)
         print(f"wrote surfel map to {args.ply}")
     if args.html:
         from staticfusion_tpu.viz.webviewer import save_html
@@ -110,7 +111,7 @@ def main(argv=None):
                if args.conf_threshold is None else args.conf_threshold)
         import numpy as np
 
-        save_html(args.html, slam.state.smap, thr,
+        save_html(args.html, slam.full_map(), thr,
                   trajectory=np.asarray(slam.poses),
                   gt_trajectory=seq.gt_poses if seq.gt_times is not None
                   else None)
@@ -118,7 +119,8 @@ def main(argv=None):
     if args.checkpoint:
         from staticfusion_tpu.utils.checkpoint import save_state
 
-        save_state(args.checkpoint, slam.state, config)
+        save_state(args.checkpoint, slam.state, config,
+                   archive=slam.archive)
         print(f"wrote checkpoint to {args.checkpoint}")
     logger.close()
 

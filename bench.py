@@ -37,11 +37,11 @@ def main():
     # Index-map super-resolution factor (reference FACTOR=4, IndexMap.cpp:21)
     # and the post-merge clean/splat factor (0 = same as index factor).
     factor = int(os.environ.get("SF_BENCH_FACTOR", "1"))
-    post = int(os.environ.get("SF_BENCH_POST_FACTOR", "0"))
+    fkw = dict(capacity=capacity, index_factor=factor)
+    if "SF_BENCH_POST_FACTOR" in os.environ:   # else the config default (2)
+        fkw["post_factor"] = int(os.environ["SF_BENCH_POST_FACTOR"])
     config = SFConfig(camera=CameraConfig(width=640 // rf, height=480 // rf),
-                      fusion=FusionConfig(capacity=capacity,
-                                          index_factor=factor,
-                                          post_factor=post))
+                      fusion=FusionConfig(**fkw))
 
     twist = np.array([0.004, -0.002, 0.006, 0.0015, -0.001, 0.002], np.float32)
     # A real forward sequence (n_iters steady frames): benchmarking repeated
@@ -104,13 +104,32 @@ def main():
               "fps reflects map-full behavior", file=sys.stderr)
 
     fps = n_iters / dt
-    print(json.dumps({
+    row = {
         "metric": "slam_fps_qvga_1chip" if rf == 2 else
                   f"slam_fps_{640 // rf}x{480 // rf}_1chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
-    }))
+    }
+    if os.environ.get("SF_BENCH_ROOFLINE", "1") == "1":
+        # Three-leg machine-ceiling accounting (utils/perf.py): XLA's own
+        # flops/bytes of the jitted step + HLO-parsed indexed-element
+        # counts against peaks measured on this chip.  MFU is reported for
+        # honesty — a dense-SLAM frame is tens of MFLOPs, so the indexed
+        # leg is the binding ceiling, captured by roofline_frac.
+        from staticfusion_tpu.utils import perf
+
+        step1 = lambda st, fr: slam_step(st, fr, config)
+        rep = perf.roofline_report(step1, (state, to_frame(2)), dt / n_iters)
+        row.update({
+            "mfu": round(rep["mfu"], 5),
+            "roofline_frac": round(rep["roofline_frac"], 3),
+            "roofline_ms": round(rep["roofline_ms"], 3),
+            "bound_by": max(
+                (("flops", rep["t_flops_ms"]), ("bytes", rep["t_bytes_ms"]),
+                 ("indexed", rep["t_indexed_ms"])), key=lambda kv: kv[1])[0],
+        })
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_one(profile: str, factor: int, n_frames: int, res_factor: int = 2,
-            seed: int = 0, post_factor: int = 0):
+            seed: int = 0, post_factor=None):
     import numpy as np
 
     from staticfusion_tpu.config import CameraConfig, FusionConfig, SFConfig
@@ -29,11 +29,12 @@ def run_one(profile: str, factor: int, n_frames: int, res_factor: int = 2,
     from staticfusion_tpu.io.trajectory import rpe_rmse
     from staticfusion_tpu.pipeline.system import SlamSystem
 
+    fkw = dict(capacity=1 << 18, index_factor=factor)
+    if post_factor is not None:   # else the config default
+        fkw["post_factor"] = post_factor
     config = SFConfig(camera=CameraConfig(width=640 // res_factor,
                                           height=480 // res_factor),
-                      fusion=FusionConfig(capacity=1 << 18,
-                                          index_factor=factor,
-                                          post_factor=post_factor))
+                      fusion=FusionConfig(**fkw))
     frames, gt = adv.make_adversarial_sequence(config, n_frames, profile,
                                                seed=seed)
 
@@ -63,7 +64,7 @@ def run_one(profile: str, factor: int, n_frames: int, res_factor: int = 2,
     fps = 1.0 / np.median(slam.frame_seconds[2:])
     return {
         "profile": profile, "index_factor": factor, "frames": n_frames,
-        "post_factor": post_factor,
+        "post_factor": config.fusion.post_factor,
         "ate_rmse_m": round(ate, 5), "rpe_rmse_m": round(rpe, 5),
         "seg_iou": round(float(np.mean(ious)), 4) if ious else None,
         "fps": round(fps, 2),
@@ -75,7 +76,7 @@ def main():
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--profiles", default="walk_xyz,fast_rot,static")
     ap.add_argument("--factors", default="1,4")
-    ap.add_argument("--post-factor", type=int, default=0)
+    ap.add_argument("--post-factor", type=int, default=None)
     ap.add_argument("--res-factor", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=0)

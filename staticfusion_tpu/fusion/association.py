@@ -152,41 +152,50 @@ def _window_search(tex: TexelImages,
     n_meas_norm = jnp.linalg.norm(n_meas, axis=-1)
 
     # Window search over the 8x8 texels [4u-2, 4u+5]: phase-decomposed
-    # shifts (texelmap.phase_window) — no strided slicing in the loop.
+    # shifts (texelmap.phase_window), all candidates stacked on a leading
+    # axis so the gate math is one fused pass and the winner an argmin
+    # (the per-offset where-chain built a window^2-deep serial dependency).
+    names = ("has", "x", "y", "z", "nx", "ny", "nz", "idx")
     ph = {name: phase_decompose(
         getattr(tex, name).astype(jnp.float32) if name == "has"
         else getattr(tex, name), F)
-        for name in ("has", "x", "y", "z", "nx", "ny", "nz", "idx")}
+        for name in names}
+    offs = [(dv, du) for du in window_offsets(F)
+            for dv in window_offsets(F)]  # the GLSL's x-major scan order
+    C = {name: jnp.stack([phase_window(ph[name], dv, du, F)
+                          for dv, du in offs]) for name in names}
 
-    best_dist = jnp.full((rows, cols), 1000.0)
-    best_id = jnp.full((rows, cols), INVALID, jnp.int32)
-    best_dv = jnp.zeros((rows, cols), jnp.int32)
-    best_du = jnp.zeros((rows, cols), jnp.int32)
+    has = C["has"] > 0
+    cx_, cy_, cz = C["x"], C["y"], C["z"]
+    cnx, cny, cnz = C["nx"], C["ny"], C["nz"]
+    depth_ok = jnp.abs(cz - z_meas[None]) * lam[None] < fus.assoc_depth_gate
+    # point-to-ray distance |cross(ray, c)| / |ray|
+    cxp = yl[None] * cz - cy_
+    cyp = cx_ - xl[None] * cz
+    czp = xl[None] * cy_ - yl[None] * cx_
+    dist = jnp.sqrt(cxp ** 2 + cyp ** 2 + czp ** 2) / lam[None]
+    cdot = (cnx * n_meas[None, ..., 0] + cny * n_meas[None, ..., 1]
+            + cnz * n_meas[None, ..., 2])
+    cnorm = jnp.sqrt(cnx ** 2 + cny ** 2 + cnz ** 2)
+    cos_angle = jnp.clip(
+        cdot / jnp.maximum(cnorm * n_meas_norm[None], 1e-12), -1.0, 1.0)
+    norm_ok = ((jnp.abs(cnz) < fus.assoc_normal_z_gate)
+               | (jnp.abs(jnp.arccos(cos_angle)) < fus.assoc_angle_gate))
+    ok = has & depth_ok & norm_ok & (dist < 1000.0)
+    dz = jnp.where(ok, dist, jnp.inf)
+    bi = jnp.argmin(dz, axis=0)              # first-in-scan-order on ties
+    found = jnp.isfinite(jnp.min(dz, axis=0))
+    onehot = jnp.arange(len(offs))[:, None, None] == bi[None]
 
-    for du in window_offsets(F):         # the GLSL's x-major scan order
-        for dv in window_offsets(F):
-            S = lambda name: phase_window(ph[name], dv, du, F)
-            has = S("has") > 0
-            cx_, cy_, cz = S("x"), S("y"), S("z")
-            cnx, cny, cnz = S("nx"), S("ny"), S("nz")
-            depth_ok = jnp.abs(cz - z_meas) * lam < fus.assoc_depth_gate
-            # point-to-ray distance |cross(ray, c)| / |ray|
-            cxp = yl * cz - cy_
-            cyp = cx_ - xl * cz
-            czp = xl * cy_ - yl * cx_
-            dist = jnp.sqrt(cxp ** 2 + cyp ** 2 + czp ** 2) / lam
-            cdot = (cnx * n_meas[..., 0] + cny * n_meas[..., 1]
-                    + cnz * n_meas[..., 2])
-            cnorm = jnp.sqrt(cnx ** 2 + cny ** 2 + cnz ** 2)
-            cos_angle = jnp.clip(
-                cdot / jnp.maximum(cnorm * n_meas_norm, 1e-12), -1.0, 1.0)
-            norm_ok = ((jnp.abs(cnz) < fus.assoc_normal_z_gate)
-                       | (jnp.abs(jnp.arccos(cos_angle)) < fus.assoc_angle_gate))
-            better = has & depth_ok & norm_ok & (dist < best_dist)
-            best_dist = jnp.where(better, dist, best_dist)
-            best_id = jnp.where(better, S("idx").astype(jnp.int32), best_id)
-            best_dv = jnp.where(better, dv, best_dv)
-            best_du = jnp.where(better, du, best_du)
+    def select(arr, empty):
+        return jnp.where(found,
+                         jnp.sum(jnp.where(onehot, arr, 0), axis=0), empty)
+
+    best_id = select(C["idx"].astype(jnp.int32), INVALID)
+    dvs = jnp.asarray([o[0] for o in offs], jnp.int32)[:, None, None]
+    dus = jnp.asarray([o[1] for o in offs], jnp.int32)[:, None, None]
+    best_dv = select(jnp.broadcast_to(dvs, onehot.shape), 0)
+    best_du = select(jnp.broadcast_to(dus, onehot.shape), 0)
 
     radial = radial_confidence(rows, cols, cam.cx, cam.cy)
     meas_conf = jnp.minimum(static_prob,

@@ -78,7 +78,19 @@ def next_tier(n: int) -> int:
     return p
 
 
-def compact_map(smap: SurfelMap, new_capacity: int) -> SurfelMap:
+def concat_maps(a: SurfelMap, b: SurfelMap) -> SurfelMap:
+    """Stack two maps slot-wise (capacity a+b); callers usually compact the
+    result.  Slot ids are frame-local, so concatenation order is free."""
+    import jax
+
+    cat = jax.tree_util.tree_map(
+        lambda x, y: jnp.concatenate([jnp.atleast_1d(x), jnp.atleast_1d(y)])
+        if jnp.ndim(x) > 0 else x, a, b)
+    return cat._replace(used=(a.capacity + b.used).astype(jnp.int32))
+
+
+def compact_map(smap: SurfelMap, new_capacity: int,
+                keep_mask=None) -> SurfelMap:
     """Pack the valid surfels into the prefix of a `new_capacity`-sized map.
 
     The TPU equivalent of the reference's count-driven processing: GL's
@@ -89,18 +101,23 @@ def compact_map(smap: SurfelMap, new_capacity: int) -> SurfelMap:
     headroom (pipeline/system.py).  Surfel slot ids are frame-local — nothing
     in SlamState references them across frames — so repacking between frames
     is exact.  Valid surfels beyond `new_capacity` are dropped (callers pick
-    tiers with headroom, so this matches map-full behavior)."""
+    tiers with headroom, so this matches map-full behavior).
+
+    `keep_mask` (default: smap.valid) selects which surfels survive the
+    pack — the active/archive split (pipeline/system.py) passes
+    valid & fresh / valid & stale respectively."""
     cap = smap.capacity
-    # Valid slot ids, ascending (stable argsort ~20x cheaper than
+    keep = smap.valid if keep_mask is None else (smap.valid & keep_mask)
+    # Kept slot ids, ascending (stable argsort ~20x cheaper than
     # jnp.nonzero's lowering on TPU).  Growing tiers pad with dummy ids —
     # `has` masks them off.
-    order = jnp.argsort(~smap.valid, stable=True)
+    order = jnp.argsort(~keep, stable=True)
     if new_capacity <= cap:
         order = order[:new_capacity]
     else:
         order = jnp.concatenate(
             [order, jnp.zeros((new_capacity - cap,), order.dtype)])
-    n_valid = jnp.sum(smap.valid.astype(jnp.int32))
+    n_valid = jnp.sum(keep.astype(jnp.int32))
     has = jnp.arange(new_capacity) < n_valid
     safe = jnp.where(has, order, 0)
 
@@ -114,7 +131,7 @@ def compact_map(smap: SurfelMap, new_capacity: int) -> SurfelMap:
     return SurfelMap(pos=out[:, 0:3], conf=out[:, 3], color=out[:, 4:7],
                      hist=out[:, 7], init_time=out[:, 8],
                      last_time=out[:, 9], normal=out[:, 10:13],
-                     radius=out[:, 13], valid=smap.valid[safe] & has,
+                     radius=out[:, 13], valid=keep[safe] & has,
                      used=used)
 
 

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from staticfusion_tpu.config import SFConfig
-from staticfusion_tpu.fusion.surfels import compact_map, next_tier
+from staticfusion_tpu.fusion.surfels import (SurfelMap, compact_map,
+                                             concat_maps, next_tier)
 from staticfusion_tpu.io import trajectory as traj_io
 from staticfusion_tpu.pipeline import keyframes
 from staticfusion_tpu.pipeline.step import (Frame, StepOutputs, bootstrap_step,
@@ -54,6 +55,10 @@ class SlamSystem:
         # `count` (GlobalModel.cpp:562-581).
         self.resize_check_interval = max(1, resize_check_interval)
         self._frames_since_resize_check = 0
+        # Migrate stale surfels to the archive only in batches worth a
+        # repack (partitioning is O(map) argsort+gather; tiny batches
+        # would churn).
+        self.archive_min_batch = 4096
         # Loop closure (config.loop): keyframe DB on device; the host syncs
         # one scalar per kf_interval frames to decide whether to attempt a
         # closure (the reference never closes loops — Reconstruction.cpp:315).
@@ -62,6 +67,20 @@ class SlamSystem:
                        if config.loop.enabled else None)
         self.loop_closures: List[dict] = []
         self._scan_jit = None  # lazy chunked-scan program (process_batch)
+        # Archive of stale surfels (the map-scaling axis, SURVEY.md §5).
+        # The index-map render culls surfels not updated within
+        # `time_delta` frames (render_cull, index_map.vert:48-56), and a
+        # culled surfel can never be re-matched, so its last_time is
+        # frozen: once stale, stale forever.  Moving stale surfels out of
+        # the working map is therefore EXACT — they would be retained
+        # untouched by the lifecycle (copy_unstable.vert keeps
+        # out-of-window surfels) and invisible to every indexed pass —
+        # while keeping per-frame cost bounded by the fresh working set
+        # instead of the total map size (indexed ops cost per ROW whether
+        # or not the row is culled; measured 63 ms for one 8.4M-row
+        # scatter on v5e).  Exports/loop-closure deformation operate on
+        # `full_map()`.
+        self.archive: SurfelMap | None = None
 
     def _maybe_resize_map(self):
         self._frames_since_resize_check += 1
@@ -69,7 +88,24 @@ class SlamSystem:
             return
         self._frames_since_resize_check = 0
         smap = self.state.smap
-        count = int(smap.count())
+        fus = self.config.fusion
+        tickf = jnp.asarray(self.state.tick, jnp.float32)
+        # Stale = will never again be rendered/matched (see `archive`).
+        stale = smap.valid & ((tickf - smap.last_time) > fus.time_delta)
+        n_stale = int(jnp.sum(stale.astype(jnp.int32)))
+        count = int(smap.count()) - n_stale
+        if n_stale >= self.archive_min_batch:
+            extracted = compact_map(smap, next_tier(n_stale),
+                                    keep_mask=stale)
+            self.archive = (extracted if self.archive is None else
+                            compact_map(
+                                concat_maps(self.archive, extracted),
+                                next_tier(int(self.archive.count())
+                                          + n_stale)))
+            keep_fresh = ~stale
+        else:
+            count += n_stale  # small stale residue stays in the live map
+            keep_fresh = None
         cam = self.config.camera
         per_frame = (cam.height * cam.width + 3) // 4  # checkerboard bound
         headroom = count // 4 + self.resize_check_interval * per_frame // 4
@@ -81,8 +117,25 @@ class SlamSystem:
         watermark_full = (int(smap.used)
                           + self.resize_check_interval * per_frame
                           > smap.capacity)
-        if tier != smap.capacity or watermark_full:
-            self.state = self.state._replace(smap=compact_map(smap, tier))
+        if tier != smap.capacity or watermark_full or keep_fresh is not None:
+            self.state = self.state._replace(
+                smap=compact_map(smap, tier, keep_mask=keep_fresh))
+
+    def full_map(self) -> SurfelMap:
+        """Active + archived surfels as one compact map (for PLY export,
+        offline viz, and loop-closure deformation)."""
+        smap = self.state.smap
+        if self.archive is None:
+            return smap
+        total = int(smap.count()) + int(self.archive.count())
+        return compact_map(concat_maps(smap, self.archive),
+                           next_tier(max(1, total)))
+
+    def total_surfels(self) -> int:
+        n = int(self.state.smap.count())
+        if self.archive is not None:
+            n += int(self.archive.count())
+        return n
 
     def _to_frame(self, rgb: np.ndarray, depth_mm: np.ndarray) -> Frame:
         return Frame(rgb=jnp.asarray(rgb, jnp.float32),
@@ -219,12 +272,17 @@ class SlamSystem:
                 self.state = self.state._replace(curr_pose=pose)
                 if lc.deform_map:
                     # Move the surfels with their birth-interval keyframes
-                    # so the map follows the corrected trajectory.
+                    # so the map follows the corrected trajectory — the
+                    # archive deforms too (its surfels are part of the
+                    # world the closure corrects).
                     fidx = db.frame_idx.at[cur_node].set(n)
                     self.state = self.state._replace(
                         smap=keyframes.deform_map(
                             self.state.smap, fidx, chain, opt,
                             cur_node + 1))
+                    if self.archive is not None:
+                        self.archive = keyframes.deform_map(
+                            self.archive, fidx, chain, opt, cur_node + 1)
                 out = out._replace(curr_pose=pose)
                 self.loop_closures.append({
                     "frame": n, "keyframe": int(db.frame_idx[k]),

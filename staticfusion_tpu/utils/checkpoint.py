@@ -39,12 +39,20 @@ def _config_diff(a: dict, b: dict, prefix: str = "") -> list:
 
 
 def save_state(path: str, state: SlamState,
-               config: Optional[SFConfig] = None) -> None:
+               config: Optional[SFConfig] = None,
+               archive: Optional[SurfelMap] = None) -> None:
+    """`archive` is the SlamSystem's stale-surfel store (pipeline/system.py)
+    — saved alongside so a resumed run keeps the full world."""
     leaves, treedef = jax.tree_util.tree_flatten(state)
     extra = {}
     if config is not None:
         extra["config_json"] = np.frombuffer(
             config.to_json().encode(), dtype=np.uint8)
+    if archive is not None:
+        a_leaves = jax.tree_util.tree_leaves(archive)
+        extra["n_archive"] = np.asarray(len(a_leaves))
+        extra.update({f"arch_{i}": np.asarray(x)
+                      for i, x in enumerate(a_leaves)})
     np.savez_compressed(path, n=len(leaves),
                         **{f"leaf_{i}": np.asarray(x)
                            for i, x in enumerate(leaves)},
@@ -86,4 +94,15 @@ def load_state(path: str, config: Optional[SFConfig] = None) -> SlamState:
         prev_filt_depth=0, prev_static_prob=0, per_cluster_residual=0,
         pred=PredictedView(*[0] * 7))
     treedef = jax.tree_util.tree_structure(template)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def load_archive(path: str) -> Optional[SurfelMap]:
+    """The archived-surfel map stored by save_state, or None."""
+    data = np.load(path)
+    if "n_archive" not in data:
+        return None
+    n = int(data["n_archive"])
+    leaves = [jnp.asarray(data[f"arch_{i}"]) for i in range(n)]
+    treedef = jax.tree_util.tree_structure(SurfelMap(*[0] * 10))
     return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -3,7 +3,7 @@
 This SLAM workload is not matmul-bound: its hot ops are XLA dynamic
 scatters/gathers (the z-buffer render, attribute gathers, association and
 write-back routing), whose TPU cost is dominated by a per-index serial
-loop (measured ~25-50 ns/index on v5e depending on op and width — see
+loop (measured ~6-21 ns/index in-graph on v5e depending on op — see
 `measure_primitives`; the Pallas scalar-RMW alternative measured 16-20 ms
 per render in round 1, i.e. the per-index wall is a hardware-model limit,
 not a tuning gap).  A meaningful "speed of light" for a frame therefore
@@ -21,6 +21,12 @@ jitted step; indexed-element counts are parsed from the compiled HLO text
 *measured on the attached chip* (big matmul, big saxpy, big scatter), so
 the fractions are achievable-vs-achieved, with the public v5e spec sheet
 numbers (197 bf16 TFLOP/s, 819 GB/s HBM) as context only.
+
+Caveat: XLA's bytes-accessed is a conservative traffic estimate — on
+programs dominated by large intermediate buffers (the F>1 texel grids) it
+counts materializations that fusion elides, so the bytes leg can exceed
+the measured time (roofline_frac > 1 flags exactly that).  The QVGA F=1
+step, whose buffers are small, measures ~0.8 of its byte ceiling.
 
 MFU is reported for completeness and honesty: a dense-SLAM frame is a few
 tens of MFLOPs, so MFU is intrinsically tiny — the roofline fraction
@@ -43,7 +49,12 @@ V5E_HBM_GBPS = 819.0
 
 
 def _sync(x):
-    np.asarray(x).ravel()[:1]
+    # Fetch ONE element (device-side reduce first): np.asarray(x) on the
+    # axon tunnel would ship the whole buffer to the host and dominate the
+    # measurement.
+    import jax.numpy as jnp
+
+    np.asarray(jnp.ravel(x)[0])
 
 
 # ---------------------------------------------------------------------------
@@ -140,7 +151,7 @@ def _time_ingraph(build, n_warm=2, n_time=3) -> float:
 
 
 def measure_matmul_tflops(dtype="bfloat16", m=4096, k=4096, n=4096,
-                          reps=8) -> float:
+                          reps=48) -> float:
     import jax.numpy as jnp
 
     def build():
@@ -159,7 +170,7 @@ def measure_matmul_tflops(dtype="bfloat16", m=4096, k=4096, n=4096,
     return reps * 2.0 * m * k * n / t / 1e12
 
 
-def measure_hbm_gbps(nbytes=1 << 26, reps=16) -> float:
+def measure_hbm_gbps(nbytes=1 << 26, reps=96) -> float:
     """Streaming saxpy: reads 2 arrays + writes 1 per rep."""
     import jax.numpy as jnp
 
@@ -180,7 +191,7 @@ def measure_hbm_gbps(nbytes=1 << 26, reps=16) -> float:
     return reps * 3.0 * n * 4 / t / 1e9
 
 
-def measure_indexed_ns(n=1 << 17, reps=16, width=14) -> Dict[str, float]:
+def measure_indexed_ns(n=1 << 17, reps=48, width=14) -> Dict[str, float]:
     """ns/index of the two primitives the fuse leans on: int32 scatter-min
     (the z-buffer) and a `width`-wide row gather (attribute
     materialization).  Chained inside one jit so dispatch overhead

@@ -5,13 +5,16 @@ TUM-walking-grade conditions, not just the friendly synthetic world.
 Profiles (io/adversarial.py): Kinect-style axial depth noise + u16-mm
 quantization, occlusion shadows, speckle dropout, 10% exposure drift, a
 low-texture wall patch, and for walk_xyz an articulated walker covering
-30-45% of the frame.  Thresholds are set from the measured distribution
-across seeds/factors (scripts/accuracy_bench.py, ACCURACY.md): walk-grade
-ATE lands at 0.015-0.105 m over 40 frames; the paper's reference system
-reports ~0.09-0.13 m on the real fr3_walking sequences.
+30-45% of the frame.  Thresholds come from the measured seed distribution
+(scripts/accuracy_bench.py, ACCURACY.md): at 40 frames the F=4 default
+config lands at 0.016-0.054 m walk ATE across seeds, F=1 at 0.08-0.11 m;
+the paper's reference system reports ~0.09-0.13 m on the real
+fr3_walking sequences — the F=4 gate pins the DEFAULT dynamics config
+inside the paper band, the F=1 gate pins the fast config at its own
+measured band.
 
-Full QVGA resolution (the reference's operating point, README.md:97); one
-compiled program serves all three profiles.
+Full QVGA resolution (the reference's operating point, README.md:97).
+Runs through SlamSystem.process_batch (the production batch path).
 """
 
 import numpy as np
@@ -21,33 +24,51 @@ from staticfusion_tpu.config import CameraConfig, FusionConfig, SFConfig
 from staticfusion_tpu.io import adversarial as adv
 from staticfusion_tpu.pipeline.system import SlamSystem
 
-CONFIG = SFConfig(camera=CameraConfig(width=320, height=240),
-                  fusion=FusionConfig(capacity=1 << 18))
 N_FRAMES = 30
 
 
-def _run(profile: str, seed: int = 0):
-    frames, gt = adv.make_adversarial_sequence(CONFIG, N_FRAMES, profile,
+def _config(factor):
+    return SFConfig(camera=CameraConfig(width=320, height=240),
+                    fusion=FusionConfig(capacity=1 << 18,
+                                        index_factor=factor))
+
+
+def _run(profile: str, factor: int = 1, seed: int = 0):
+    config = _config(factor)
+    frames, gt = adv.make_adversarial_sequence(config, N_FRAMES, profile,
                                                seed=seed)
-    slam = SlamSystem(CONFIG)
+    slam = SlamSystem(config)
+    rgbs = [f[0] for f in frames]
+    depths = [f[1] for f in frames]
+    dyns = [f[2] for f in frames]
+    ts = [i / 30.0 for i in range(N_FRAMES)]
+    probs = np.asarray(slam.process_batch(rgbs, depths, ts,
+                                          collect_prob=True))
     ious = []
-    for i, (rgb, depth_mm, dyn) in enumerate(frames):
-        out = slam.process(rgb, depth_mm, i / 30.0)
-        if (out is not None and i >= CONFIG.buffer_length
-                and dyn.sum() > 50):
-            ious.append(adv.dynamic_iou(np.asarray(out.static_prob), dyn,
-                                        depth_mm))
+    for i in range(1, N_FRAMES):
+        if i >= config.buffer_length and dyns[i].sum() > 50:
+            ious.append(adv.dynamic_iou(probs[i - 1], dyns[i], depths[i]))
     ate = slam.ate(np.arange(N_FRAMES) / 30.0, gt)
     return ate, (float(np.mean(ious)) if ious else None)
 
 
-def test_walk_xyz_ate_and_iou():
-    """30-45% articulated dynamic coverage + sensor noise: tracking must
-    hold within the walking-grade band and segmentation must find the
-    walker."""
-    ate, iou = _run("walk_xyz")
-    assert ate < 0.15, f"walk_xyz ATE {ate:.4f} beyond the walking band"
+def test_walk_xyz_ate_and_iou_f1():
+    """30-45% articulated dynamic coverage + sensor noise at the fast F=1
+    config: tracking must hold within its measured band and segmentation
+    must find the walker."""
+    ate, iou = _run("walk_xyz", factor=1)
+    assert ate < 0.15, f"walk_xyz F=1 ATE {ate:.4f} beyond the band"
     assert iou is not None and iou > 0.25, f"segmentation IoU {iou}"
+
+
+def test_walk_xyz_ate_and_iou_f4_default():
+    """The DEFAULT dynamics config (index_factor=4, post_factor=2): the
+    strongest accuracy claim in the repo — must stay inside the paper's
+    fr3_walking band (~0.09-0.13 m) with margin, and segment better than
+    the F=1 path."""
+    ate, iou = _run("walk_xyz", factor=4)
+    assert ate < 0.13, f"walk_xyz F=4 ATE {ate:.4f} beyond the paper band"
+    assert iou is not None and iou > 0.30, f"segmentation IoU {iou}"
 
 
 def test_fast_rotation_ate():
