@@ -37,8 +37,10 @@ def main(argv=None):
                          "resumed frames)")
     ap.add_argument("--profile", default=None,
                     help="directory for a jax.profiler trace of the run")
-    ap.add_argument("--loop-closure", action="store_true",
-                    help="keyframe loop detection + pose-graph correction")
+    ap.add_argument("--loop-closure", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="keyframe loop detection + pose-graph correction "
+                         "(verification-gated; --no-loop-closure disables)")
     ap.add_argument("--conf-threshold", type=float, default=None,
                     help="surfel confidence cut for --ply (default: config "
                          "value; the reference exposes this as a GUI slider)")

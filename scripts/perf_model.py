@@ -81,7 +81,7 @@ def step_roofline(factor: int, n_frames: int, peaks):
 
     state, _ = bootstrap_step(to_frame(0), to_frame(1), jnp.eye(4), config)
     count = int(state.smap.count())
-    tier = max(4096, next_tier(count + count // 4 + 4096))
+    tier = max(4096, next_tier(count + count // 8 + 2048))
     state = state._replace(smap=compact_map(state.smap, tier))
 
     batch = Frame(

@@ -144,11 +144,18 @@ class LoopClosureConfig:
     kf_interval: int = 10     # frames between stored keyframes
     capacity: int = 64        # keyframe slots (fixed shapes)
     min_gap: int = 30         # frames a match must be older than the query
-    max_fp_dist: float = 0.005  # fingerprint MSE acceptance.  Calibration
-                                # (scripts/calibrate_loop.py): genuine
-                                # revisits <= 4.5e-3, non-revisit views
-                                # ~0.6 — but aliased scenes can score 1e-6,
-                                # so this gate is only the cheap filter.
+    max_fp_dist: float = 0.2    # fingerprint MSE acceptance — the CHEAP
+                                # pre-filter only (false closures are
+                                # rejected by max_residual below, which is
+                                # what the negative tests pin).
+                                # Calibration: clean-scene revisits score
+                                # <= 4.5e-3 (scripts/calibrate_loop.py);
+                                # on the adversarial walking suite (sensor
+                                # noise + a moving walker) genuine
+                                # revisits score ~0.08-0.17 while
+                                # non-revisit views score ~0.5-0.8 — 0.2
+                                # admits the former with ~3x margin to
+                                # the negative band.
     max_residual: float = 0.04  # depth-residual verification gate (m):
                                 # genuine matches ~5e-4, aliased
                                 # same-texture/different-geometry pairs

@@ -270,6 +270,27 @@ class SlamSystem:
                 pose = opt[cur_node]
                 db = db._replace(poses=opt)
                 self.state = self.state._replace(curr_pose=pose)
+                # Retro-correct the recorded trajectory with the
+                # pose-graph solution (piecewise-rigid, the same
+                # assignment rule as deform_map): every recorded frame
+                # rides the correction of the last keyframe at or before
+                # it.  Without this the closure only fixes the CURRENT
+                # pose and the exported/evaluated trajectory keeps all
+                # pre-closure drift.
+                chain_np = np.asarray(chain[:cur_node + 1])
+                opt_np = np.asarray(opt[:cur_node + 1])
+                delta = opt_np @ np.linalg.inv(chain_np)
+                keys = np.array(jax.device_get(
+                    db.frame_idx[:cur_node + 1]))
+                keys[cur_node] = n
+                poses_np = [np.asarray(p) for p in
+                            jax.device_get(self.poses)]
+                seg = np.clip(
+                    np.searchsorted(keys, np.arange(len(poses_np)),
+                                    side="right") - 1, 0, cur_node)
+                self.poses = [
+                    np.asarray(delta[seg[j]] @ poses_np[j], np.float32)
+                    for j in range(len(poses_np))]
                 if lc.deform_map:
                     # Move the surfels with their birth-interval keyframes
                     # so the map follows the corrected trajectory — the
