@@ -105,3 +105,36 @@ def test_sharded_sequence_matches_single_device():
     ate_ref = ate_rmse(times, np.stack(ref_poses), times, gtp)
     ate_sh = ate_rmse(times, np.stack(sh_poses), times, gtp)
     assert abs(ate_ref - ate_sh) < 5e-4, (ate_ref, ate_sh)
+
+
+@pytest.mark.parametrize("n_pix,n_map", [(2, 4)])
+def test_sharded_step_matches_single_factor4(boot, n_pix, n_map):
+    """The surfel-major sparse fuse (index_factor=4 default config) under
+    GSPMD: the sharded step must match the single-device step — its
+    z-buffer/association scatters and the post-merge render all cross the
+    map axis, so this pins that XLA's inserted collectives preserve the
+    packed-key/argmin semantics."""
+    cfg4 = SFConfig(camera=CameraConfig(width=80, height=64),
+                    fusion=FusionConfig(capacity=1 << 14, index_factor=4))
+    frames, _ = synthetic.make_sequence(cfg4, 3, TWIST)
+
+    def F(i):
+        return Frame(rgb=jnp.asarray(frames[i][0]),
+                     depth_mm=jnp.asarray(frames[i][1]))
+
+    state, _ = bootstrap_step(F(0), F(1), jnp.eye(4), cfg4)
+    ref_state, ref_out = slam_step(state, F(2), cfg4)
+
+    mesh = mesh_lib.make_mesh(n_pix, n_map)
+    sh_state = mesh_lib.place_state(state, mesh)
+    sh_frame = jax.device_put(F(2), mesh_lib.frame_shardings(mesh))
+    step = make_sharded_step(cfg4, mesh)
+    out_state, out = step(sh_state, sh_frame)
+
+    np.testing.assert_allclose(np.asarray(out.curr_pose),
+                               np.asarray(ref_out.curr_pose), atol=1e-4)
+    assert int(out.surfel_count) == int(ref_out.surfel_count)
+    np.testing.assert_allclose(np.asarray(out_state.smap.conf),
+                               np.asarray(ref_state.smap.conf), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.static_prob),
+                               np.asarray(ref_out.static_prob), atol=1e-3)

@@ -241,3 +241,22 @@ def test_sparse_multiframe_trajectory_smoke():
     # resolution the factor configs legitimately diverge by ~1 cm over 4
     # frames (association candidate sets differ by design).
     assert np.linalg.norm(poses[1][:3, 3] - poses[4][:3, 3]) < 0.025
+
+
+def test_odd_factor_falls_back_to_texel_path():
+    """supports_sparse is even-F only (the unique-active-candidate-pixel
+    property needs even F); odd factors must still fuse correctly through
+    the texel-space path."""
+    config = _cfg(F=3, cap=1 << 13)
+    assert not sparse.supports_sparse(config)
+    smap, d, rgb = _init_map(config)
+    res = backend.fuse_frame(
+        smap, jnp.eye(4), jnp.eye(4), jnp.asarray(d), jnp.asarray(d),
+        jnp.asarray(rgb), jnp.ones(d.shape), jnp.asarray(2, jnp.int32),
+        config)
+    # Odd-F clean multiplicity scaling is approximate ((4/F)^2 with
+    # non-integer sample strides), so allow a wider kill band than the
+    # characterized even-F configs.
+    assert abs(int(res.smap.count()) - int(smap.count())) < 0.15 * d.size
+    assert (np.asarray(res.smap.last_time) == 2.0).sum() > 0.15 * d.size
+    assert (np.asarray(res.pred.depth)[4:-4, 4:-4] > 0).mean() > 0.85
