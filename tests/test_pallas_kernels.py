@@ -187,3 +187,37 @@ def test_fused_irls_traced_kb(monkeypatch):
                                    atol=2e-5)
         np.testing.assert_allclose(got.twist, want.twist, rtol=2e-4,
                                    atol=2e-6)
+
+
+def test_bilateral_kernel_randomized_shapes():
+    """Property test on randomized shapes (ROADMAP quality item): any
+    rows%8==0 image, narrow or lane-tiled wide, must match the XLA path."""
+    shape_rng = np.random.default_rng(2026)
+    for _ in range(6):
+        rows = 8 * int(shape_rng.integers(1, 9))
+        cols = int(shape_rng.choice([40, 96, 160, 256, 320, 384, 512, 640]))
+        rng = np.random.default_rng(rows * 7919 + cols)
+        d = jnp.asarray(_depth_image(rng, rows, cols))
+        got = np.asarray(bilateral_pallas.bilateral_filter_mm(
+            d, 4.5, interpret=True))
+        want = np.asarray(bilateral_ref.bilateral_filter_mm(d, 4.5))
+        assert np.all(np.abs(got - want) <= 1.0), (rows, cols)
+        assert np.mean(got != want) < 1e-3, (rows, cols)
+
+
+def test_spd_solve_kernel_randomized():
+    """Random SPD systems of random size: the unrolled Pallas Cholesky must
+    track the jnp solve across conditioning regimes."""
+    shape_rng = np.random.default_rng(7)
+    for _ in range(8):
+        n = int(shape_rng.integers(2, 33))
+        scale = float(shape_rng.choice([1e-2, 1.0, 1e2]))
+        rng = np.random.default_rng(n * 131 + int(scale))
+        a = rng.normal(size=(n, n)).astype(np.float32) * scale
+        spd = a @ a.T + n * scale * scale * np.eye(n, dtype=np.float32)
+        b = rng.normal(size=(n,)).astype(np.float32)
+        got = np.asarray(smallsolve_pallas.spd_solve(
+            jnp.asarray(spd), jnp.asarray(b), interpret=True))
+        want = np.linalg.solve(spd.astype(np.float64),
+                               b.astype(np.float64))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3 * scale)
