@@ -259,40 +259,55 @@ def associate_texels(tex: TexelImages,
     matched = s.active & (s.best_id != INVALID)
     is_new = s.active & (s.best_id == INVALID)
 
-    uu = jnp.arange(cols, dtype=jnp.int32)[None, :]
-    vv = jnp.arange(rows, dtype=jnp.int32)[:, None]
-    ty = F * vv + s.best_dv
-    tx = F * uu + s.best_du
-    tflat_img = jnp.where(matched, ty * cols4 + tx, S_tex)
-
-    # Compact scatter sources to the active checkerboard quarter (only
-    # those pixels can match): same summands in the same relative order,
-    # 4x fewer rows through the scatter.
+    del S_tex
     t_par = jnp.asarray(tick, jnp.int32) % 2
-    sub = lambda a: active_subgrid(a, t_par)
-    tflat = sub(tflat_img).ravel()
-    n_sub = tflat.shape[0]
     meas_conf_img = s.meas_conf.reshape(rows, cols)
 
-    ones = jnp.ones((n_sub, 1))
-    payload = jnp.concatenate([
-        sub(s.raw.pos).reshape(-1, 3), sub(meas_conf_img).ravel()[:, None],
-        sub(rgb).reshape(-1, 3), sub(s.filt.normal).reshape(-1, 3),
-        sub(s.filt.radius).reshape(-1, 1), ones,
-    ], axis=1)
-    rec = jnp.zeros((S_tex, payload.shape[1]),
-                    payload.dtype).at[tflat].add(payload, mode="drop")
+    # Dense offset-decomposed accumulation — NO scatter: a record from
+    # pixel (v,u) matched at window offset (dv,du) lands on texel
+    # (F*v+dv, F*u+du), so for each offset the contributing records form a
+    # masked image whose targets are a strided lattice: a phase bucket
+    # (dv%F, du%F) plus a +-1-pixel block shift.  The row scatter this
+    # replaces paid a whole-(8,128)-tile read-modify-write per row
+    # (~5 ms at VGA for this one op); these are pure shifted VPU adds.
+    # Collisions (two pixels matching surfels in the same texel) still sum
+    # exactly like the scatter-add did.
+    payload = jnp.stack([
+        s.raw.pos[..., 0], s.raw.pos[..., 1], s.raw.pos[..., 2],
+        meas_conf_img,
+        rgb[..., 0], rgb[..., 1], rgb[..., 2],
+        s.filt.normal[..., 0], s.filt.normal[..., 1], s.filt.normal[..., 2],
+        s.filt.radius, jnp.ones((rows, cols)),
+    ])                                                     # (12, H, W)
 
-    cnt = rec[:, 11]
+    acc = [[None] * F for _ in range(F)]
+    for dv in window_offsets(F):
+        for du in window_offsets(F):
+            m = matched & (s.best_dv == dv) & (s.best_du == du)
+            contrib = jnp.where(m[None], payload, 0.0)
+            sv, bv = dv % F, dv // F
+            su, bu = du % F, du // F
+            if bv or bu:
+                a = max(abs(bv), abs(bu))
+                p = jnp.pad(contrib, ((0, 0), (a, a), (a, a)))
+                contrib = p[:, a - bv:a - bv + rows, a - bu:a - bu + cols]
+            acc[sv][su] = (contrib if acc[sv][su] is None
+                           else acc[sv][su] + contrib)
+    # Compose phases -> the (rows4, cols4) texel grid (inverse of
+    # texelmap.phase_decompose).
+    ph = jnp.stack([jnp.stack(r) for r in acc])            # (F, F, 12, H, W)
+    rec = ph.transpose(2, 3, 0, 4, 1).reshape(12, rows4, cols4)
+
+    cnt = rec[11]
     has = cnt > 0.0
     inv = jnp.where(has, 1.0 / jnp.where(has, cnt, 1.0), 0.0)
-    avg = rec[:, :11] * inv[:, None]
+    avg = rec[:11] * inv[None]
 
     def img(i):
-        return avg[:, i].reshape(rows4, cols4)
+        return avg[i]
 
     def img3(i):
-        return avg[:, i:i + 3].reshape(rows4, cols4, 3)
+        return jnp.stack([avg[i], avg[i + 1], avg[i + 2]], axis=-1)
 
     upd = TexelUpdates(
         has=has.reshape(rows4, cols4),
