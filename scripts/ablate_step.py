@@ -65,8 +65,12 @@ def timeit(label, config):
 
 def main():
     factor = int(os.environ.get("SF_ABLATE_FACTOR", "1"))
-    config = SFConfig(fusion=FusionConfig(capacity=1 << 18,
-                                          index_factor=factor))
+    rf = int(os.environ.get("SF_ABLATE_RES_FACTOR", "2"))  # 2=QVGA, 1=VGA
+    from staticfusion_tpu.config import CameraConfig
+    config = SFConfig(
+        camera=CameraConfig(width=640 // rf, height=480 // rf),
+        fusion=FusionConfig(capacity=1 << (18 if rf >= 2 else 20),
+                            index_factor=factor))
     base = timeit("full step", config)
 
     import staticfusion_tpu.pipeline.temporal as temporal
@@ -90,6 +94,7 @@ def main():
         out = orig_splat(tex, config)
         return jax.tree_util.tree_map(jnp.zeros_like, out)
 
+    import staticfusion_tpu.fusion.update as update_mod
     import staticfusion_tpu.solver.runsolver as runsolver
     import staticfusion_tpu.solver.irls as irls
     import staticfusion_tpu.solver.clustering as clustering_mod
@@ -130,6 +135,12 @@ def main():
          zeroed(clustering_mod.compute_connectivity), [clustering_mod]),
         ("predict_indices", zeroed(indexmap.predict_indices),
          [indexmap, backend]),
+        ("merge_texels", lambda tex, upd, tick, config: tex,
+         [update_mod, backend]),
+        ("writeback_and_insert",
+         lambda smap, merged, upd_has, kill_tex, local, new, pose, tick,
+         config: smap,
+         [clean, backend]),
         ("associate_texels", zeroed(association.associate_texels),
          [association, backend]),
         # Sparse (F>1) path stages.

@@ -40,6 +40,14 @@ class SolverConfig:
     level_twist_convergence: float = 0.04  # early exit ||xi_level|| (FrontEnd.cpp:1130)
     kmeans_iters: int = 10               # KMeans.cpp:142
     kmeans_tol: float = 1e-2             # KMeans.cpp:227
+    kmeans_level: int = -1               # pyramid level the Lloyd iterations
+                                         # run at; -1 = auto: the level whose
+                                         # row count matches the reference's
+                                         # fixed K-means grid (<=120 rows =
+                                         # half its QVGA input) — granularity
+                                         # stays reference-exact as camera
+                                         # resolution rises (level 1 at QVGA,
+                                         # level 2 at VGA)
     fused_irls: bool = True              # one Pallas kernel per IRLS
                                          # iteration on TPU (kernels/
                                          # irls_pallas.py); the XLA

@@ -161,15 +161,32 @@ def compute_connectivity(depth: jnp.ndarray, xx: jnp.ndarray, yy: jnp.ndarray,
     return conn | jnp.eye(NUM_CLUSTERS, dtype=bool)
 
 
+def kmeans_level_for(config: SFConfig) -> int:
+    """Pyramid level the Lloyd iterations run at.
+
+    Auto (-1): the shallowest level with <=120 rows — the reference's fixed
+    K-means grid (it clusters at half its QVGA input, KMeans.cpp:65-74), so
+    cluster granularity stays reference-exact as camera resolution rises
+    instead of scaling the O(pixels * K * iters) Lloyd cost with it."""
+    lvl = config.solver.kmeans_level
+    if lvl >= 0:
+        return min(lvl, config.ctf_levels - 1)
+    l = 1
+    while (config.camera.height >> l) > 120 and l < config.ctf_levels - 1:
+        l += 1
+    return l
+
+
 def cluster_frame(pyr: Pyramid, config: SFConfig) -> Clustering:
-    """Full clustering pass: init at half resolution, Lloyd-iterate, label
-    every pyramid level with the final centers, compute connectivity.
+    """Full clustering pass: init at the K-means level (see
+    `kmeans_level_for`), Lloyd-iterate, label every pyramid level with the
+    final centers, compute connectivity.
 
     The reference labels level 1 with the *pre-final* centers it iterated on
     and levels 0,2.. with the final ones (KMeans.cpp:238-291,343-391); we use
     the final centers everywhere — same fixed point, simpler dataflow.
     """
-    half = pyr[1]
+    half = pyr[kmeans_level_for(config)]
     centers0 = initialize_centers(half.depth, config.camera.fovh)
     centers = lloyd_iterate(half.depth, half.xx, half.yy, centers0,
                             config.solver.kmeans_iters, config.solver.kmeans_tol)

@@ -165,3 +165,37 @@ def test_motion_filter_identity_when_weights_zero():
     twist = jnp.asarray([0.1, 0.0, -0.2, 0.01, 0.02, -0.01])
     out = motion_filter(twist, jnp.eye(6), jnp.ones(6), jnp.zeros(6), 0, cfg)
     np.testing.assert_allclose(np.asarray(out), np.asarray(twist), atol=1e-6)
+
+
+def test_kmeans_level_auto_matches_reference_grid():
+    """Auto K-means level keeps the reference's fixed ~120-row Lloyd grid
+    (KMeans.cpp:65-74) at every camera resolution."""
+    Cam = CONFIG.camera.__class__
+    qvga = SFConfig(camera=Cam(width=320, height=240))
+    vga = SFConfig(camera=Cam(width=640, height=480))
+    tiny = SFConfig(camera=Cam(width=48, height=32))
+    assert clustering.kmeans_level_for(qvga) == 1   # 120 rows
+    assert clustering.kmeans_level_for(vga) == 2    # 120 rows
+    assert clustering.kmeans_level_for(tiny) == 1   # shallowest, tiny image
+    # Explicit override wins (clamped to the pyramid depth).
+    forced = vga.replace(solver=vga.solver.__class__(kmeans_level=1))
+    assert clustering.kmeans_level_for(forced) == 1
+
+
+def test_kmeans_vga_level2_separates_depth_planes(rng):
+    """Clustering at the capped level still separates structure at VGA-like
+    aspect: two depth planes land in disjoint label sets at full res."""
+    rows, cols = 64, 96
+    d = np.full((rows, cols), 1.0, np.float32)
+    d[:, cols // 2:] = 3.0
+    cfg = SFConfig(camera=CONFIG.camera.__class__(width=cols, height=rows),
+                   solver=CONFIG.solver.__class__(kmeans_level=2))
+    pyr = pyramid.build_pyramid(
+        jnp.asarray(d), jnp.asarray(rng.random(d.shape).astype(np.float32)),
+        cfg)
+    cl = clustering.cluster_frame(pyr, cfg)
+    labels = np.asarray(cl.labels[0])
+    assert labels.max() < NUM_CLUSTERS
+    left = set(np.unique(labels[:, :40]))
+    right = set(np.unique(labels[:, 56:]))
+    assert left.isdisjoint(right)
