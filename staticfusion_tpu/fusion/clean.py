@@ -219,16 +219,8 @@ def writeback_and_insert(smap: SurfelMap,
                          tick: jnp.ndarray,
                          config: SFConfig) -> SurfelMap:
     """Fold the update-merge, the clean verdicts, and the new-surfel insert
-    into per-field 1-D scatters sharing one target vector.
-
-    This was previously ONE wide (capacity, 15) scatter; XLA's layout
-    assignment makes the column slices that unpack it back into SurfelMap
-    fields free by giving the wide array a dim0-minor {0,1} layout — which
-    turns every scattered row into 15 strided tile read-modify-writes
-    (profiled at 16.7 ms/frame at VGA, 43% of the step).  Fifteen 1-D
-    scatters on the natural field arrays keep every update lane-contiguous
-    (~0.05 ms each at the 393 k tier) and also delete the (capacity, 15)
-    pack/unpack copies.
+    into ONE wide scatter (TPU scatter cost is per-op, nearly independent of
+    index count and row width — scripts/microbench_scatter.py).
 
     Three disjoint write classes:
     * elementwise: age/zero-conf kills on every slot (copy_unstable.vert:118-122)
@@ -271,32 +263,35 @@ def writeback_and_insert(smap: SurfelMap,
     lnrm = jnp.stack([merged.nx, merged.ny, merged.nz], -1).reshape(-1, 3)
     wpos = lpos @ R.T + t
     wnrm = lnrm @ R.T
-    flat1 = lambda a: a.ravel()
+    flat = lambda a: a.ravel()[:, None]
+    payload_tex = jnp.concatenate([
+        wpos, flat(merged.conf),
+        flat(merged.r), flat(merged.g), flat(merged.b),
+        flat(merged.hist), flat(merged.init_time), flat(merged.last_time),
+        wnrm, flat(merged.radius),
+        flat((~kill_tex).astype(jnp.float32))], axis=1)
+
+    # ---- insert rows ----
+    col = lambda a: a[:, None]
+    tick_col = jnp.full((max_new, 1), tickf)
+    payload_ins = jnp.concatenate([
+        new.pos, col(new.conf), new.color, jnp.ones((max_new, 1)),
+        tick_col, tick_col, new.normal, col(new.radius),
+        col(ins.astype(jnp.float32))], axis=1)
+
+    base = jnp.concatenate([
+        smap.pos, col(smap.conf), smap.color, col(smap.hist),
+        col(smap.init_time), col(smap.last_time), smap.normal,
+        col(smap.radius), col(keep_elem.astype(jnp.float32))], axis=1)
 
     all_tgt = jnp.concatenate([tgt_tex, tgt_ins])
-    tick_ins = jnp.full((max_new,), tickf)
-
-    def scat(base, ptex, pins):
-        return base.at[all_tgt].set(
-            jnp.concatenate([ptex, pins]).astype(base.dtype), mode="drop")
-
-    def scat3(base, ptex, pins):
-        return jnp.stack(
-            [scat(base[:, i], ptex[:, i], pins[:, i]) for i in range(3)],
-            axis=1)
+    all_payload = jnp.concatenate([payload_tex, payload_ins])
+    out = base.at[all_tgt].set(all_payload, mode="drop")
 
     return SurfelMap(
-        pos=scat3(smap.pos, wpos, new.pos),
-        conf=scat(smap.conf, flat1(merged.conf), new.conf),
-        color=scat3(smap.color,
-                    jnp.stack([flat1(merged.r), flat1(merged.g),
-                               flat1(merged.b)], axis=1), new.color),
-        hist=scat(smap.hist, flat1(merged.hist), jnp.ones((max_new,))),
-        init_time=scat(smap.init_time, flat1(merged.init_time), tick_ins),
-        last_time=scat(smap.last_time, flat1(merged.last_time), tick_ins),
-        normal=scat3(smap.normal, wnrm, new.normal),
-        radius=scat(smap.radius, flat1(merged.radius), new.radius),
-        valid=scat(keep_elem, ~kill_tex.ravel(),
-                   jnp.ones((max_new,), bool)),
+        pos=out[:, 0:3], conf=out[:, 3], color=out[:, 4:7],
+        hist=out[:, 7], init_time=out[:, 8], last_time=out[:, 9],
+        normal=out[:, 10:13], radius=out[:, 13],
+        valid=out[:, 14] > 0.5,
         used=used,
     )

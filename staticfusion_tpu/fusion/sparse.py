@@ -203,14 +203,16 @@ def associate_sparse(smap: SurfelMap,
     pix_ok = is_win & u_ok & v_ok
     pflat = jnp.clip(v_act * cols + u_act, 0, n_pix - 1)
 
-    # One 1-D measurement gather per field at the shared index vector
-    # (a wide stacked gather draws a transposed dim0-minor layout from XLA
-    # — a strided tile touch per field per index; see texelmap.py).
-    z_meas = raw_depth_m.ravel()[pflat]
-    act_g = active.ravel()[pflat]
-    nmx = filt.normal[..., 0].ravel()[pflat]
-    nmy = filt.normal[..., 1].ravel()[pflat]
-    nmz = filt.normal[..., 2].ravel()[pflat]
+    # ONE stacked measurement gather (cost follows the index count, not the
+    # row count): measured depth, active mask, measured normal.
+    meas = jnp.stack([
+        raw_depth_m, active.astype(jnp.float32),
+        filt.normal[..., 0], filt.normal[..., 1], filt.normal[..., 2],
+    ]).reshape(5, n_pix)
+    g = meas[:, pflat]
+    z_meas = g[0]
+    act_g = g[1] > 0.0
+    nmx, nmy, nmz = g[2], g[3], g[4]
 
     # data.vert:133-160 gates, evaluated per surfel against its pixel.
     xl = (u_act.astype(jnp.float32) + 0.5 - cam.cx) / cam.fx
@@ -270,23 +272,21 @@ def associate_sparse(smap: SurfelMap,
     matched_sub = sub(matched).ravel()
     slot = jnp.where(matched_sub, sub(best_id).ravel(), smap.capacity)
     n_sub = matched_sub.shape[0]
-
-    # Per-field 1-D record scatters at the shared slot vector (a wide
-    # (capacity, 12) scatter draws a transposed layout — see texelmap.py).
-    def rscat(vals):
-        return jnp.zeros((smap.capacity,), vals.dtype).at[slot].set(
-            vals, mode="drop")
-
-    def rscat3(vals):
-        return jnp.stack([rscat(vals[:, i]) for i in range(3)], axis=1)
+    payload = jnp.concatenate([
+        world_pos, sub(meas_conf).ravel()[:, None],
+        sub(rgb).reshape(-1, 3), world_nrm,
+        sub(filt.radius).ravel()[:, None], jnp.ones((n_sub, 1)),
+    ], axis=1)
+    rec = jnp.zeros((smap.capacity, payload.shape[1]),
+                    payload.dtype).at[slot].set(payload, mode="drop")
 
     updates = UpdateRecords(
-        has_update=rscat(jnp.ones((n_sub,))) > 0.0,
-        pos=rscat3(world_pos),
-        conf=rscat(sub(meas_conf).ravel()),
-        color=rscat3(sub(rgb).reshape(-1, 3)),
-        normal=rscat3(world_nrm),
-        radius=rscat(sub(filt.radius).ravel()),
+        has_update=rec[:, 11] > 0.0,
+        pos=rec[:, 0:3],
+        conf=rec[:, 3],
+        color=rec[:, 4:7],
+        normal=rec[:, 7:10],
+        radius=rec[:, 10],
     )
     new = _new_surfels(raw, filt, is_new, rgb, static_prob, pose, t_par,
                        config)
@@ -305,9 +305,8 @@ def materialize_from_winners(smap: SurfelMap, local: SurfelsLocal,
     full re-render (the reference re-renders before clean,
     Reconstruction.cpp:300; the merge moves winners by <= mm, so z-order
     flips between the pre- and post-merge renders are rare and within the
-    GL raster nondeterminism the reference tolerates).  Per-field 1-D
-    O(capacity) row-scatters (a wide scatter draws a transposed layout —
-    see texelmap.py); same capacity-bound scheme as
+    GL raster nondeterminism the reference tolerates).  ONE wide
+    O(capacity) row-scatter; same capacity-bound scheme as
     texelmap.render_texel_images' scatter branch."""
     from staticfusion_tpu.fusion.texelmap import TexelImages
 
@@ -318,22 +317,30 @@ def materialize_from_winners(smap: SurfelMap, local: SurfelsLocal,
     ids = jnp.arange(smap.capacity, dtype=jnp.int32)
 
     tgt = jnp.where(won, flat, S)
+    ids_f = jax.lax.bitcast_convert_type(ids, jnp.float32)
+    payload = jnp.concatenate([
+        local.pos, local.normal,
+        smap.radius[:, None], smap.conf[:, None],
+        smap.init_time[:, None], smap.last_time[:, None],
+        smap.color, smap.hist[:, None],
+        ids_f[:, None], jnp.ones((smap.capacity, 1)),
+    ], axis=1)
+    out = jnp.zeros((S, 16), jnp.float32).at[tgt].set(payload, mode="drop")
 
-    def I(vals):
-        return jnp.zeros((S,), vals.dtype).at[tgt].set(
-            vals, mode="drop").reshape(rows4, cols4)
+    def I(col):
+        return out[:, col].reshape(rows4, cols4)
 
-    has = I(jnp.ones((smap.capacity,))) > 0.0
-    idx = jnp.where(has, I(ids), INT_MAX)
+    has = I(15) > 0.0
+    idx = jnp.where(has, jax.lax.bitcast_convert_type(out[:, 14], jnp.int32)
+                    .reshape(rows4, cols4), INT_MAX)
     return TexelImages(
         idx=idx, has=has,
-        x=I(local.pos[:, 0]), y=I(local.pos[:, 1]), z=I(local.pos[:, 2]),
-        nx=I(local.normal[:, 0]), ny=I(local.normal[:, 1]),
-        nz=I(local.normal[:, 2]),
-        radius=I(smap.radius), conf=I(smap.conf),
-        init_time=I(smap.init_time), last_time=I(smap.last_time),
-        r=I(smap.color[:, 0]), g=I(smap.color[:, 1]), b=I(smap.color[:, 2]),
-        hist=I(smap.hist),
+        x=I(0), y=I(1), z=I(2),
+        nx=I(3), ny=I(4), nz=I(5),
+        radius=I(6), conf=I(7),
+        init_time=I(8), last_time=I(9),
+        r=I(10), g=I(11), b=I(12),
+        hist=I(13),
     )
 
 
@@ -366,27 +373,22 @@ def lifecycle_and_insert(smap: SurfelMap,
     n_new = jnp.where(max_new > 0, rank[-1] + 1, 0)
     used = jnp.minimum(smap.capacity, smap.used + n_new).astype(jnp.int32)
 
-    # Per-field 1-D insert scatters at the shared target vector (a wide
-    # (capacity, 15) scatter draws a transposed layout — see
-    # clean.writeback_and_insert).
-    tick_ins = jnp.full((max_new,), tickf)
-
-    def scat(base, pins):
-        return base.at[tgt_ins].set(pins.astype(base.dtype), mode="drop")
-
-    def scat3(base, pins):
-        return jnp.stack([scat(base[:, i], pins[:, i]) for i in range(3)],
-                         axis=1)
+    col = lambda a: a[:, None]
+    tick_col = jnp.full((max_new, 1), tickf)
+    payload_ins = jnp.concatenate([
+        new.pos, col(new.conf), new.color, jnp.ones((max_new, 1)),
+        tick_col, tick_col, new.normal, col(new.radius),
+        col(ins.astype(jnp.float32))], axis=1)
+    base = jnp.concatenate([
+        smap.pos, col(smap.conf), smap.color, col(smap.hist),
+        col(smap.init_time), col(smap.last_time), smap.normal,
+        col(smap.radius), col(keep.astype(jnp.float32))], axis=1)
+    out = base.at[tgt_ins].set(payload_ins, mode="drop")
 
     return SurfelMap(
-        pos=scat3(smap.pos, new.pos),
-        conf=scat(smap.conf, new.conf),
-        color=scat3(smap.color, new.color),
-        hist=scat(smap.hist, jnp.ones((max_new,))),
-        init_time=scat(smap.init_time, tick_ins),
-        last_time=scat(smap.last_time, tick_ins),
-        normal=scat3(smap.normal, new.normal),
-        radius=scat(smap.radius, new.radius),
-        valid=scat(keep, jnp.ones((max_new,), bool)),
+        pos=out[:, 0:3], conf=out[:, 3], color=out[:, 4:7],
+        hist=out[:, 7], init_time=out[:, 8], last_time=out[:, 9],
+        normal=out[:, 10:13], radius=out[:, 13],
+        valid=out[:, 14] > 0.5,
         used=used,
     )

@@ -184,25 +184,23 @@ def render_texel_images(smap: SurfelMap, local: SurfelsLocal,
         has = fb != INT_MAX
         winner = fb
 
-    fields = (
+    stacked = jnp.stack([
         local.pos[:, 0], local.pos[:, 1], local.pos[:, 2],
         local.normal[:, 0], local.normal[:, 1], local.normal[:, 2],
         smap.radius, smap.conf, smap.init_time, smap.last_time,
         smap.color[:, 0], smap.color[:, 1], smap.color[:, 2],
         smap.hist,
-    )
+    ])
 
     use_gather = (S <= 2 * smap.capacity if materialize == "auto"
                   else materialize == "gather")
     if use_gather:
-        # Texel-count-bound attribute materialization: one 1-D gather PER
-        # FIELD at the winner ids.  Not one wide stacked gather: XLA's
-        # layout assignment gives a (14, S) gather result a transposed
-        # dim0-minor layout (to make the per-field row slices free), which
-        # costs 14 strided tile touches per index — profiled ~1.4 ms at
-        # VGA vs ~0.3 ms for the 14 contiguous 1-D gathers.
+        # Texel-count-bound attribute materialization: ONE (14, capacity)
+        # gather at the winner ids (TPU gather cost follows the index
+        # count, not the row width).  Right whenever the texel grid is no
+        # bigger than the map tier (the F=1 default).
         safe = jnp.where(has, winner, 0)
-        g = [jnp.where(has, f[safe], 0.0) for f in fields]
+        g = jnp.where(has[None, :], stacked[:, safe], 0.0)
 
         def I(row):
             return g[row].reshape(rows4, cols4)
@@ -213,24 +211,26 @@ def render_texel_images(smap: SurfelMap, local: SurfelsLocal,
         # (the reference's FACTOR=4, IndexMap.cpp:21, where S = 16*H*W
         # dwarfs the live map): each surfel re-reads its own texel's
         # winning key (ONE capacity-sized gather) and the winners write
-        # their attributes back with per-field 1-D row-scatters (a wide
-        # (S, 15) scatter draws a transposed dim0-minor layout from XLA —
-        # see the gather branch above) — indexed-op cost stays
-        # O(capacity), never O(S).  Same winners, same values.
+        # their attributes back with ONE wide row-scatter — indexed-op
+        # cost stays O(capacity), never O(S).  Same winners, same values.
         win_key = fb.at[flat].get(mode="fill", fill_value=INT_MAX)
         if ib <= PACKED_MAX_ID_BITS:
             won = ok & (win_key == key)
         else:
             won = ok & (win_key == ids)
         tgt = jnp.where(won, flat, S)
-        outs = [jnp.zeros((S,), jnp.float32).at[tgt].set(f, mode="drop")
-                for f in fields]
+        # Ride the id along the one wide f32 scatter bitwise (f32 can't
+        # represent ids above 2^24 exactly).
+        ids_f = jax.lax.bitcast_convert_type(ids, jnp.float32)
+        payload = jnp.concatenate([stacked.T, ids_f[:, None]], axis=1)
+        out = jnp.zeros((S, 15), jnp.float32).at[tgt].set(
+            payload, mode="drop")
 
         def I(row):
-            return outs[row].reshape(rows4, cols4)
+            return out[:, row].reshape(rows4, cols4)
 
         has_img = has.reshape(rows4, cols4)
-        idx_scat = jnp.zeros((S,), jnp.int32).at[tgt].set(ids, mode="drop")
+        idx_scat = jax.lax.bitcast_convert_type(out[:, 14], jnp.int32)
         idx_img = jnp.where(has_img, idx_scat.reshape(rows4, cols4),
                             INT_MAX)
 

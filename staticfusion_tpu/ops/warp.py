@@ -115,21 +115,17 @@ def warp_forward_splat(src_depth: jnp.ndarray,
 
     z5 = jnp.tile(z_w.ravel(), 5)
     i5 = jnp.tile(src_intensity.ravel(), 5)
-    # Per-channel 1-D scatter-adds for (w*z, w*I, w): a wide (n, 3) scatter
-    # draws a transposed layout from XLA to feed the per-channel slices
-    # below, turning each row into 3 strided tile RMWs (see
-    # _bilinear_sample).
-    def sadd(vals):
-        return jnp.zeros((n,), dtype).at[idx5].add(vals, mode="drop")
+    # One 3-wide scatter-add for (w*z, w*I, w) — row width is ~free.
+    acc = jnp.zeros((n, 3), dtype).at[idx5].add(
+        jnp.stack([w5 * z5, w5 * i5, w5], axis=1), mode="drop")
 
-    acc_z = sadd(w5 * z5)
-    acc_i = sadd(w5 * i5)
-    wacu = sadd(w5).reshape(rows_i, cols_i)
+    wacu = acc[:, 2].reshape(rows_i, cols_i)
     nonzero = wacu != 0.0
     safe_w = jnp.where(nonzero, wacu, 1.0)
-    depth_w = jnp.where(nonzero, acc_z.reshape(rows_i, cols_i) / safe_w, 0.0)
+    depth_w = jnp.where(nonzero,
+                        acc[:, 0].reshape(rows_i, cols_i) / safe_w, 0.0)
     intensity_w = jnp.where(nonzero,
-                            acc_i.reshape(rows_i, cols_i) / safe_w, 0.0)
+                            acc[:, 1].reshape(rows_i, cols_i) / safe_w, 0.0)
     return depth_w, intensity_w, wacu
 
 
@@ -149,14 +145,11 @@ def _bilinear_sample(fields: jnp.ndarray, valid: jnp.ndarray,
     u0 = jnp.clip(u0.astype(jnp.int32), 0, cols_i - 1)
     v0 = jnp.clip(v0.astype(jnp.int32), 0, rows_i - 1)
 
-    # One 1-D gather per corner per channel (4 x (C+1) gathers at the same
-    # flat index vector; validity rides along as an extra channel;
-    # out-of-image corners read the zero padding and drop out through the
-    # validity weight).  NOT one wide gather from a (4*(C+1), N) stack: XLA
-    # assigns the wide result a transposed dim0-minor layout (so the
-    # per-channel row slices are free), which costs a strided tile touch
-    # per channel per index — profiled at ~1.4 ms per warp at VGA vs
-    # ~0.3 ms for the contiguous 1-D gathers.
+    # TPU gathers cost ~the index count regardless of how many rows each
+    # index pulls, so the 4 corner gathers x C fields collapse into ONE
+    # gather from a (4*(C+1), N) stack of corner-shifted images (validity
+    # rides along as an extra channel; out-of-image corners read the
+    # zero padding and drop out through the validity weight).
     c = fields.shape[0]
     imgs = jnp.concatenate(
         [fields, valid.ravel().astype(fields.dtype)[None, :]],
@@ -164,15 +157,16 @@ def _bilinear_sample(fields: jnp.ndarray, valid: jnp.ndarray,
     shifted = [jnp.pad(imgs, ((0, 0), (0, dv), (0, du)))[:, dv:dv + rows_i,
                                                          du:du + cols_i]
                for dv in (0, 1) for du in (0, 1)]
+    stack = jnp.concatenate(shifted, axis=0).reshape(4 * (c + 1), -1)
 
-    idx = v0 * cols_i + u0
+    g = stack[:, v0 * cols_i + u0]
     corner_w = ((1 - fu) * (1 - fv), fu * (1 - fv), (1 - fu) * fv, fu * fv)
     acc = jnp.zeros((c, u.shape[0]), fields.dtype)
     wacc = jnp.zeros(u.shape, fields.dtype)
     for k, w in enumerate(corner_w):
-        sh = shifted[k].reshape(c + 1, -1)
-        wgt = w * sh[c][idx]
-        acc = acc + jnp.stack([sh[j][idx] for j in range(c)]) * wgt[None, :]
+        blk = g[k * (c + 1):(k + 1) * (c + 1)]
+        wgt = w * blk[c]
+        acc = acc + blk[:c] * wgt[None, :]
         wacc = wacc + wgt
     safe = jnp.where(wacc > 0.0, wacc, 1.0)
     return acc / safe[None, :], wacc
