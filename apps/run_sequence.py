@@ -44,14 +44,21 @@ def main(argv=None):
     ap.add_argument("--conf-threshold", type=float, default=None,
                     help="surfel confidence cut for --ply (default: config "
                          "value; the reference exposes this as a GUI slider)")
+    ap.add_argument("--index-factor", type=int, default=None,
+                    help="index-map super-resolution factor (default: the "
+                         "config default, 4 = reference FACTOR and the "
+                         "accuracy-best config; 1 = fast preset)")
+    ap.add_argument("--post-factor", type=int, default=None,
+                    help="texel factor of the post-merge clean/splat passes "
+                         "at index-factor > 1 (default: config default 2)")
     args = ap.parse_args(argv)
 
     import contextlib
 
     import jax
 
-    from staticfusion_tpu.config import (CameraConfig, LoopClosureConfig,
-                                         SFConfig)
+    from staticfusion_tpu.config import (CameraConfig, FusionConfig,
+                                         LoopClosureConfig, SFConfig)
     from staticfusion_tpu.io import tum
     from staticfusion_tpu.io.ply import save_ply
     from staticfusion_tpu.pipeline.system import SlamSystem
@@ -70,8 +77,14 @@ def main(argv=None):
                               gt_file=args.gt or "groundtruth.txt")
     # Sensor-native 640x480 divided by res_factor (the reference's
     # `res_factor` constant in each main; 2 -> QVGA, 1 -> VGA).
+    fkw = {}
+    if args.index_factor is not None:
+        fkw["index_factor"] = args.index_factor
+    if args.post_factor is not None:
+        fkw["post_factor"] = args.post_factor
     config = SFConfig(camera=CameraConfig(width=640 // args.res_factor,
                                           height=480 // args.res_factor),
+                      fusion=FusionConfig(**fkw),
                       loop=LoopClosureConfig(enabled=args.loop_closure))
     slam = SlamSystem(config, initial_pose=seq.initial_gt_pose())
     if is_rawlog:

@@ -34,9 +34,12 @@ def main():
 
     from staticfusion_tpu.config import CameraConfig
 
-    # Index-map super-resolution factor (reference FACTOR=4, IndexMap.cpp:21)
-    # and the post-merge clean/splat factor (0 = same as index factor).
-    factor = int(os.environ.get("SF_BENCH_FACTOR", "1"))
+    # Index-map super-resolution factor; defaults to the shipped config
+    # default (4 = reference FACTOR, IndexMap.cpp:21 — the accuracy-best
+    # config) so the headline bench measures what apps actually run.
+    # SF_BENCH_FACTOR=1 benches the fast preset.
+    factor = int(os.environ.get("SF_BENCH_FACTOR",
+                                str(FusionConfig.index_factor)))
     fkw = dict(capacity=capacity, index_factor=factor)
     if "SF_BENCH_POST_FACTOR" in os.environ:   # else the config default (2)
         fkw["post_factor"] = int(os.environ["SF_BENCH_POST_FACTOR"])

@@ -64,7 +64,7 @@ class FusionConfig:
     low_conf: float = 0.13               # Reconstruction.cpp:630
     depth_max: float = 4.5               # FrontEnd.cpp:168
     depth_min: float = 0.3               # depth_metric.frag:32 (300 mm gate)
-    index_factor: int = 1                # index-map super-resolution factor (reference: 4, IndexMap.cpp:21); even F>1 runs the surfel-major sparse fuse (fusion/sparse.py) whose indexed ops stay O(capacity)
+    index_factor: int = 4                # index-map super-resolution factor; 4 matches the reference (IndexMap.cpp:21) and is the accuracy-best measured config (ACCURACY.md), shipped as the default at ~45 fps QVGA; 1 is the fast preset (~125 fps). Even F>1 runs the surfel-major sparse fuse (fusion/sparse.py) whose indexed ops stay O(capacity)
     post_factor: int = 2                 # texel factor of the post-merge clean window test + prediction splat in the sparse fuse; 0 = index_factor, 1 = camera res (cheapest). Default 2: best measured walk-suite ATE/IoU across seeds AND 39.5 fps at F=4 (ACCURACY.md round 3). Ignored at index_factor 1.
     time_delta: int = 200                # Reconstruction.h (timeDelta window)
     velocity_weight_cap: float = 0.15    # Reconstruction.cpp:274

@@ -14,12 +14,13 @@ for free from hardware rasterization; on TPU every scatter/gather costs
    order is submission-dependent).
 2. Winner ids come out of the key by masking — no second pass.
 3. Attribute images are per-field gathers at *texel-grid scale*.  Their cost
-   scales with the texel count, which is why the default `index_factor` is 1
-   (camera resolution) rather than the reference's 4: at QVGA that's 77k
-   gathered elements per field instead of 1.23M.  All consumers (association
-   window search, splat prediction, clean redundancy test) are generic over
-   the factor; set `FusionConfig.index_factor=4` for reference-exact
-   window semantics at ~10x the render cost.
+   scales with the texel count: at QVGA, `index_factor=1` gathers 77k
+   elements per field vs 1.23M at the reference's 4.  All consumers
+   (association window search, splat prediction, clean redundancy test) are
+   generic over the factor.  The shipped default is the reference's
+   `index_factor=4` (accuracy-best, ACCURACY.md), whose fuse runs through
+   the O(capacity) surfel-major sparse path (fusion/sparse.py) rather than
+   this dense pixel-major one; `index_factor=1` is the fast preset.
 
 Trade at factor 1: surfels that project onto the same pixel collapse to the
 front-most one, so window searches see at most one candidate per pixel cell

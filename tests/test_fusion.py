@@ -403,9 +403,13 @@ def test_large_capacity_render_exact_depth():
     local = texelmap.project_surfels(smap, jnp.eye(4), CONFIG)
     tex = texelmap.render_texel_images(smap, local,
                                        jnp.asarray(2, jnp.int32), CONFIG)
+    # Read the winner texel via the projection's own coords (a pixel-center
+    # point sits exactly on a texel boundary at F>1, where fp rounding
+    # decides the floor; the renderer's own u4/v4 is the ground truth).
     F = CONFIG.fusion.index_factor
-    assert int(tex.idx[v * F, u * F]) == 6_000_000
-    np.testing.assert_allclose(float(tex.z[v * F, u * F]), 2.000, atol=1e-6)
+    tv, tu = int(local.v4[ids[2]]), int(local.u4[ids[2]])
+    assert int(tex.idx[tv, tu]) == 6_000_000
+    np.testing.assert_allclose(float(tex.z[tv, tu]), 2.000, atol=1e-6)
     # Exact depth tie at another pixel -> deterministic smaller-id winner.
     u2, v2 = 10, 10
     tie_ids = np.array([4_000_000, 3_000_000])
@@ -418,7 +422,11 @@ def test_large_capacity_render_exact_depth():
     local = texelmap.project_surfels(smap, jnp.eye(4), CONFIG)
     tex = texelmap.render_texel_images(smap, local,
                                        jnp.asarray(2, jnp.int32), CONFIG)
-    assert int(tex.idx[v2 * F, u2 * F]) == 3_000_000
+    # Read the texel via the projection's own coords: at F>1 the point sits
+    # exactly on a texel boundary, where the fp-rounded floor is what the
+    # renderer actually uses.
+    tv2, tu2 = int(local.v4[tie_ids[0]]), int(local.u4[tie_ids[0]])
+    assert int(tex.idx[tv2, tu2]) == 3_000_000
 
 
 def test_render_materialize_paths_agree():
