@@ -51,6 +51,13 @@ def main(argv=None):
     ap.add_argument("--post-factor", type=int, default=None,
                     help="texel factor of the post-merge clean/splat passes "
                          "at index-factor > 1 (default: config default 2)")
+    ap.add_argument("--live", type=int, default=None, metavar="PORT",
+                    help="serve a live view (RGB/depth/weights/clusters "
+                         "panels + metrics) at http://127.0.0.1:PORT while "
+                         "running; 0 picks a free port (the reference shows "
+                         "these panels in its Pangolin GUI, Utils/GUI.h:87-99)")
+    ap.add_argument("--live-every", type=int, default=5,
+                    help="refresh the --live view every N frames")
     args = ap.parse_args(argv)
 
     import contextlib
@@ -141,14 +148,25 @@ def main(argv=None):
 
 
 def _run_frames(args, seq, slam, logger):
+    viewer = None
+    if getattr(args, "live", None) is not None:
+        from staticfusion_tpu.viz.live import LiveViewer
+
+        viewer = LiveViewer(args.live)
+        print(f"live view: http://127.0.0.1:{viewer.port}/")
     for i, (rgb, depth_mm, ts) in enumerate(seq):
         if args.max_frames and i >= args.max_frames:
             break
         out = slam.process(rgb, depth_mm, ts)
         if out is not None:
+            fps = 1.0 / max(slam.frame_seconds[-1], 1e-9)
             logger.log(frame=i, surfels=int(out.surfel_count),
-                       dense=bool(out.dense),
-                       fps=1.0 / max(slam.frame_seconds[-1], 1e-9))
+                       dense=bool(out.dense), fps=fps)
+            if viewer is not None and i % max(args.live_every, 1) == 0:
+                viewer.update(rgb, depth_mm, out, frame=i,
+                              surfels=int(out.surfel_count),
+                              fps=round(fps, 2),
+                              loop_closures=len(slam.loop_closures))
             if args.viz:
                 from staticfusion_tpu.viz.offline import save_frame_panels
 

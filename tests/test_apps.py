@@ -111,3 +111,27 @@ def test_run_sequence_rawlog_end_to_end(tmp_path):
     t_est, p_est = read_tum_trajectory(traj)
     ate = ate_rmse(t_est, p_est, np.asarray(ts), gt)
     assert ate < 0.02, f"rawlog-run ATE {ate} vs raw GT"
+
+
+def test_run_sequence_live_view(dataset_dir, tmp_path, capsys):
+    """--live serves the reference's GUI panels during the run
+    (Utils/GUI.h:87-99); the view stays up with the final frame after the
+    run ends."""
+    import re
+    import urllib.request
+
+    from apps.run_sequence import main
+
+    traj = str(tmp_path / "traj_live.txt")
+    main([dataset_dir, "--res-factor", "4", "--max-frames", "4",
+          "--depth-scale", "5000", "--out", traj,
+          "--live", "0", "--live-every", "1"])
+    m = re.search(r"live view: (http://[\d.:]+)/",
+                  capsys.readouterr().out)
+    assert m, "app must print the live-view URL"
+    met = json.loads(urllib.request.urlopen(
+        m.group(1) + "/metrics.json", timeout=5).read())
+    assert met.get("frame", -1) >= 1 and "surfels" in met
+    png = urllib.request.urlopen(m.group(1) + "/frame.png",
+                                 timeout=5).read()
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"

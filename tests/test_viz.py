@@ -177,3 +177,40 @@ def test_webviewer_from_ply_roundtrip(tmp_path):
     webviewer.main([str(ply), str(html), "--title", "t"])
     data = _extract_data(html.read_text())
     assert _decode(data["pos"], np.float32).size == pos.size
+
+
+def test_live_viewer_serves_panels_and_metrics():
+    """The --live view (viz/live.py): update() publishes a PNG mosaic and
+    metrics; the HTTP endpoints serve them (the reference's GUI panels,
+    Utils/GUI.h:87-99, as a headless web view)."""
+    import json
+    import urllib.request
+
+    from staticfusion_tpu.viz.live import LiveViewer, compose_panels
+
+    rng = np.random.default_rng(0)
+    h, w = 24, 32
+    rgb = rng.random((h, w, 3)).astype(np.float32)
+    depth_mm = (rng.random((h, w)) * 3000).astype(np.float32)
+
+    class Out:
+        static_prob = rng.random((h, w)).astype(np.float32)
+        labels = rng.integers(0, 25, (h, w))
+
+    mosaic = compose_panels(rgb, depth_mm, np.asarray(Out.static_prob),
+                            np.asarray(Out.labels))
+    assert mosaic.shape == (2 * h, 2 * w, 3) and mosaic.dtype == np.uint8
+
+    v = LiveViewer(port=0)  # ephemeral port
+    try:
+        v.update(rgb, depth_mm, Out(), frame=7, fps=42.0)
+        base = f"http://127.0.0.1:{v.port}"
+        page = urllib.request.urlopen(base + "/", timeout=5).read()
+        assert b"StaticFusion-TPU live" in page
+        png = urllib.request.urlopen(base + "/frame.png", timeout=5).read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        met = json.loads(urllib.request.urlopen(
+            base + "/metrics.json", timeout=5).read())
+        assert met == {"frame": 7, "fps": 42.0}
+    finally:
+        v.close()
