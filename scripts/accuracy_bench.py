@@ -21,10 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_one(profile: str, factor: int, n_frames: int, res_factor: int = 2,
-            seed: int = 0, post_factor=None):
+            seed: int = 0, post_factor=None, loop: bool = False,
+            smooth_skip: int | None = None):
     import numpy as np
 
-    from staticfusion_tpu.config import CameraConfig, FusionConfig, SFConfig
+    from staticfusion_tpu.config import (CameraConfig, FusionConfig,
+                                         LoopClosureConfig, SFConfig)
     from staticfusion_tpu.io import adversarial as adv
     from staticfusion_tpu.io.trajectory import rpe_rmse
     from staticfusion_tpu.pipeline.system import SlamSystem
@@ -32,11 +34,16 @@ def run_one(profile: str, factor: int, n_frames: int, res_factor: int = 2,
     fkw = dict(capacity=1 << 18, index_factor=factor)
     if post_factor is not None:   # else the config default
         fkw["post_factor"] = post_factor
+    lkw = dict(enabled=loop)
+    if smooth_skip is not None:
+        lkw["smooth_skip"] = smooth_skip
     config = SFConfig(camera=CameraConfig(width=640 // res_factor,
                                           height=480 // res_factor),
-                      fusion=FusionConfig(**fkw))
-    frames, gt = adv.make_adversarial_sequence(config, n_frames, profile,
-                                               seed=seed)
+                      fusion=FusionConfig(**fkw),
+                      loop=LoopClosureConfig(**lkw))
+    frames, gt = adv.make_adversarial_sequence(
+        config, n_frames, profile, seed=seed,
+        cache_dir=os.environ.get("SF_ADV_CACHE", "/tmp/sf_adv_cache"))
 
     slam = SlamSystem(config)
     # Chunked device-resident processing (SlamSystem.process_batch): one
@@ -65,6 +72,9 @@ def run_one(profile: str, factor: int, n_frames: int, res_factor: int = 2,
     return {
         "profile": profile, "index_factor": factor, "frames": n_frames,
         "post_factor": config.fusion.post_factor,
+        "loop": loop, "smooth_skip": config.loop.smooth_skip if loop else 0,
+        "closures": len(slam.loop_closures),
+        "smoothings": len(slam.chain_smoothings),
         "ate_rmse_m": round(ate, 5), "rpe_rmse_m": round(rpe, 5),
         "seg_iou": round(float(np.mean(ious)), 4) if ious else None,
         "fps": round(fps, 2),
@@ -77,6 +87,10 @@ def main():
     ap.add_argument("--profiles", default="walk_xyz,fast_rot,static")
     ap.add_argument("--factors", default="1,4")
     ap.add_argument("--post-factor", type=int, default=None)
+    ap.add_argument("--loop", action="store_true",
+                    help="enable keyframe loop closure + chain smoothing")
+    ap.add_argument("--smooth-skip", type=int, default=None,
+                    help="override LoopClosureConfig.smooth_skip (0 = off)")
     ap.add_argument("--res-factor", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
@@ -93,7 +107,8 @@ def main():
     for factor in [int(f) for f in args.factors.split(",")]:
         for profile in args.profiles.split(","):
             r = run_one(profile, factor, args.frames, args.res_factor,
-                        args.seed, args.post_factor)
+                        args.seed, args.post_factor, loop=args.loop,
+                        smooth_skip=args.smooth_skip)
             rows.append(r)
             print(json.dumps(r), flush=True)
 

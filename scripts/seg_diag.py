@@ -60,8 +60,9 @@ def main():
                       fusion=FusionConfig(capacity=1 << 18,
                                           index_factor=args.factor),
                       **ckw)
-    frames, gt = adv.make_adversarial_sequence(config, args.frames,
-                                               "walk_xyz", seed=args.seed)
+    frames, gt = adv.make_adversarial_sequence(
+        config, args.frames, "walk_xyz", seed=args.seed,
+        cache_dir=os.environ.get("SF_ADV_CACHE", "/tmp/sf_adv_cache"))
     slam = SlamSystem(config)
     rgbs = [f[0] for f in frames]
     depths = [f[1] for f in frames]

@@ -171,6 +171,13 @@ class LoopClosureConfig:
                                 # false closures (test_keyframes.py).
     loop_weight: float = 4.0  # loop vs odometry constraint weight
     gn_iters: int = 10        # pose-graph Gauss-Newton iterations
+    smooth_skip: int = 2      # periodic chain smoothing: on keyframe ticks
+                              # with no closure, measure a skip constraint
+                              # (keyframe count-skip -> current frame) and
+                              # optimize the chain against it, so
+                              # independent per-interval odometry errors
+                              # average instead of accumulating; 0 = off
+    smooth_weight: float = 1.0  # skip-constraint weight vs the chain
     deform_map: bool = True   # piecewise-rigid surfel-map correction on
                               # closure (keyframes.deform_map)
 

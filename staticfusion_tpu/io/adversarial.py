@@ -123,6 +123,29 @@ def trajectory_walk_xyz(n: int) -> np.ndarray:
     return np.stack([vx, vy, vz, wx, wy, wz], axis=1).astype(np.float32)
 
 
+def trajectory_walk_loop(n: int) -> np.ndarray:
+    """Out-and-back revisit loop: sweep away (lateral translate + yaw) for
+    n/2 frames, then retrace exactly (second half = time-reversed negated
+    first half, so the true end pose is the identity).  The return leg
+    revisits every outbound view — the drift-heavy loop-closure regime the
+    keyframe machinery is built for (the reference never closes loops,
+    Reconstruction.cpp:315)."""
+    m = n // 2
+    t = np.arange(m)
+    vx = 0.014 + 0.004 * np.cos(0.21 * t)
+    vy = 0.005 * np.sin(0.27 * t + 0.3)
+    vz = 0.006 * np.sin(0.13 * t)
+    wx = 0.003 * np.sin(0.17 * t + 0.9)
+    wy = 0.010 + 0.004 * np.cos(0.11 * t)
+    wz = 0.002 * np.sin(0.23 * t)
+    out = np.stack([vx, vy, vz, wx, wy, wz], axis=1)
+    back = -out[::-1]
+    tw = np.concatenate([out, back], axis=0)
+    if tw.shape[0] < n:                     # odd n: hold one zero twist
+        tw = np.concatenate([tw, np.zeros((n - tw.shape[0], 6))], axis=0)
+    return tw.astype(np.float32)
+
+
 def trajectory_fast_rot(n: int) -> np.ndarray:
     """Fast-rotation profile: yaw sweeps up to ~1.7 deg/frame (50 deg/s at
     30 Hz) with handheld translation."""
@@ -287,18 +310,53 @@ def render_adversarial_frame(pose: np.ndarray, config, frame_idx: int,
 def make_adversarial_sequence(config, n_frames: int,
                               profile: str = "walk_xyz",
                               sensor: Optional[SensorModel] = None,
-                              seed: int = 0):
+                              seed: int = 0,
+                              cache_dir: Optional[str] = None):
     """frames: list of (rgb, depth_mm, dyn_mask); gt_poses (n,4,4) cam->world.
 
     Profiles: 'walk_xyz' (articulated walker, 30-50%% dynamic coverage,
-    handheld motion), 'fast_rot' (static scene, fast yaw), 'static' (no
-    dynamics, sensor noise only)."""
+    handheld motion), 'walk_loop' (drift-heavy out-and-back revisit with
+    the walker — the loop-closure regime), 'fast_rot' (static scene, fast
+    yaw), 'static' (no dynamics, sensor noise only).
+
+    `cache_dir`: host rendering costs ~3 s/frame; when set, the rendered
+    sequence is stored/loaded as an npz keyed by (profile, n, seed,
+    resolution, sensor params) so parameter sweeps only pay it once."""
+    import os
+
+    if cache_dir is not None:
+        sm = SensorModel() if sensor is None else sensor
+        key = "adv_{}_{}f_s{}_{}x{}_{:x}".format(
+            profile, n_frames, seed, config.camera.width,
+            config.camera.height,
+            abs(hash(tuple(dataclasses.astuple(sm)))) % (1 << 40))
+        path = os.path.join(cache_dir, key + ".npz")
+        if os.path.exists(path):
+            z = np.load(path)
+            frames = [(z["rgb"][i], z["depth"][i], z["dyn"][i])
+                      for i in range(z["rgb"].shape[0])]
+            return frames, z["gt"]
+        frames, gt = make_adversarial_sequence(config, n_frames, profile,
+                                               sensor, seed, cache_dir=None)
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + ".tmp.npz"
+        np.savez_compressed(tmp,
+                            rgb=np.stack([f[0] for f in frames]),
+                            depth=np.stack([f[1] for f in frames]),
+                            dyn=np.stack([f[2] for f in frames]), gt=gt)
+        os.replace(tmp, path)
+        return frames, gt
     import jax.numpy as jnp
 
     from staticfusion_tpu.geometry.se3 import se3_exp
 
     if profile == "walk_xyz":
         twists = trajectory_walk_xyz(n_frames)
+        spheres = static_clutter() + make_walker()
+    elif profile == "walk_loop":
+        # Drift-heavy out-and-back revisit with the walker on screen: the
+        # loop-closure regime (see trajectory_walk_loop).
+        twists = trajectory_walk_loop(n_frames)
         spheres = static_clutter() + make_walker()
     elif profile == "fast_rot":
         twists = trajectory_fast_rot(n_frames)

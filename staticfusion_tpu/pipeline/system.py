@@ -66,6 +66,8 @@ class SlamSystem:
                                           config.rows, config.cols)
                        if config.loop.enabled else None)
         self.loop_closures: List[dict] = []
+        self.chain_smoothings: List[dict] = []  # periodic skip-constraint
+                                                # corrections (smooth_skip)
         self._scan_jit = None  # lazy chunked-scan program (process_batch)
         # Archive of stale surfels (the map-scaling axis, SURVEY.md §5).
         # The index-map render culls surfels not updated within
@@ -258,58 +260,87 @@ class SlamSystem:
         db = self._kf_db
         best, dist = keyframes.query(db, emb, n, lc.min_gap)
         pose = out.curr_pose
+        closed = False
         if float(dist) < lc.max_fp_dist and int(db.count) < db.emb.shape[0]:
             k = int(best)
             T, resid = keyframes.relative_pose(
                 db.intensity[k], db.depth[k], inten, depth, self.config)
             if float(resid) < lc.max_residual:
-                cur_node = int(db.count)
-                chain = db.poses.at[cur_node].set(pose)
-                opt = keyframes.close_loop(chain, cur_node + 1, k, cur_node,
-                                           T, lc.loop_weight, lc.gn_iters)
-                pose = opt[cur_node]
-                db = db._replace(poses=opt)
-                self.state = self.state._replace(curr_pose=pose)
-                # Retro-correct the recorded trajectory with the
-                # pose-graph solution (piecewise-rigid, the same
-                # assignment rule as deform_map): every recorded frame
-                # rides the correction of the last keyframe at or before
-                # it.  Without this the closure only fixes the CURRENT
-                # pose and the exported/evaluated trajectory keeps all
-                # pre-closure drift.
-                chain_np = np.asarray(chain[:cur_node + 1])
-                opt_np = np.asarray(opt[:cur_node + 1])
-                delta = opt_np @ np.linalg.inv(chain_np)
-                keys = np.array(jax.device_get(
-                    db.frame_idx[:cur_node + 1]))
-                keys[cur_node] = n
-                poses_np = [np.asarray(p) for p in
-                            jax.device_get(self.poses)]
-                seg = np.clip(
-                    np.searchsorted(keys, np.arange(len(poses_np)),
-                                    side="right") - 1, 0, cur_node)
-                self.poses = [
-                    np.asarray(delta[seg[j]] @ poses_np[j], np.float32)
-                    for j in range(len(poses_np))]
-                if lc.deform_map:
-                    # Move the surfels with their birth-interval keyframes
-                    # so the map follows the corrected trajectory — the
-                    # archive deforms too (its surfels are part of the
-                    # world the closure corrects).
-                    fidx = db.frame_idx.at[cur_node].set(n)
-                    self.state = self.state._replace(
-                        smap=keyframes.deform_map(
-                            self.state.smap, fidx, chain, opt,
-                            cur_node + 1))
-                    if self.archive is not None:
-                        self.archive = keyframes.deform_map(
-                            self.archive, fidx, chain, opt, cur_node + 1)
+                pose, db = self._apply_graph_correction(
+                    db, pose, n, k, T, lc.loop_weight)
                 out = out._replace(curr_pose=pose)
+                closed = True
                 self.loop_closures.append({
                     "frame": n, "keyframe": int(db.frame_idx[k]),
                     "fp_dist": float(dist), "residual": float(resid)})
+        if (not closed and lc.smooth_skip > 0
+                and int(db.count) > lc.smooth_skip
+                and int(db.count) < db.emb.shape[0]):
+            # Periodic keyframe-chain smoothing (no closure this tick):
+            # measure a SKIP constraint (keyframe count-skip -> current
+            # frame) with the same verified frame-to-frame solve and
+            # optimize the chain against it.  Two paths now measure the
+            # same relative motion — the composed odometry chain and the
+            # direct wide-baseline solve — so independent per-interval
+            # errors average down instead of accumulating (the loop
+            # machinery applied at drift-control cadence; net-new vs the
+            # reference, which lets drift run forever).
+            k = int(db.count) - lc.smooth_skip
+            T, resid = keyframes.relative_pose(
+                db.intensity[k], db.depth[k], inten, depth, self.config)
+            if float(resid) < lc.max_residual:
+                pose, db = self._apply_graph_correction(
+                    db, pose, n, k, T, lc.smooth_weight)
+                out = out._replace(curr_pose=pose)
+                self.chain_smoothings.append({
+                    "frame": n, "keyframe": int(db.frame_idx[k]),
+                    "residual": float(resid)})
         self._kf_db = keyframes.add_keyframe(db, inten, depth, pose, n)
         return out
+
+    def _apply_graph_correction(self, db, pose, n, k, T, weight):
+        """Optimize the keyframe chain against one measured constraint
+        (keyframe k -> the current frame, appended as node `count`) and
+        apply the solution everywhere it matters: current pose, keyframe
+        DB, recorded trajectory, live map, archive."""
+        lc = self.config.loop
+        cur_node = int(db.count)
+        chain = db.poses.at[cur_node].set(pose)
+        opt = keyframes.close_loop(chain, cur_node + 1, k, cur_node,
+                                   T, weight, lc.gn_iters)
+        pose = opt[cur_node]
+        db = db._replace(poses=opt)
+        self.state = self.state._replace(curr_pose=pose)
+        # Retro-correct the recorded trajectory with the pose-graph
+        # solution (piecewise-rigid, the same assignment rule as
+        # deform_map): every recorded frame rides the correction of the
+        # last keyframe at or before it.  Without this the correction only
+        # fixes the CURRENT pose and the exported/evaluated trajectory
+        # keeps all prior drift.
+        chain_np = np.asarray(chain[:cur_node + 1])
+        opt_np = np.asarray(opt[:cur_node + 1])
+        delta = opt_np @ np.linalg.inv(chain_np)
+        keys = np.array(jax.device_get(db.frame_idx[:cur_node + 1]))
+        keys[cur_node] = n
+        poses_np = [np.asarray(p) for p in jax.device_get(self.poses)]
+        seg = np.clip(
+            np.searchsorted(keys, np.arange(len(poses_np)),
+                            side="right") - 1, 0, cur_node)
+        self.poses = [
+            np.asarray(delta[seg[j]] @ poses_np[j], np.float32)
+            for j in range(len(poses_np))]
+        if lc.deform_map:
+            # Move the surfels with their birth-interval keyframes so the
+            # map follows the corrected trajectory — the archive deforms
+            # too (its surfels are part of the world being corrected).
+            fidx = db.frame_idx.at[cur_node].set(n)
+            self.state = self.state._replace(
+                smap=keyframes.deform_map(
+                    self.state.smap, fidx, chain, opt, cur_node + 1))
+            if self.archive is not None:
+                self.archive = keyframes.deform_map(
+                    self.archive, fidx, chain, opt, cur_node + 1)
+        return pose, db
 
     @property
     def metrics(self):

@@ -235,3 +235,37 @@ def test_aliased_scene_rejected_by_verification():
                                 jnp.asarray(inten), jnp.asarray(depth_b),
                                 CONFIG)
     assert not float(resid) < CONFIG.loop.max_residual, float(resid)
+
+
+def test_chain_smoothing_engages_and_stays_accurate():
+    """Periodic skip-constraint smoothing (LoopClosureConfig.smooth_skip):
+    with the fingerprint gate closed (max_fp_dist=0 -> no closures), the
+    smoothing path must fire on keyframe ticks, apply verified chain
+    corrections, and leave an accurate trajectory accurate (the correction
+    is a no-op when odometry is already right)."""
+    from staticfusion_tpu.io.synthetic import default_world, render_frame
+    from staticfusion_tpu.pipeline.system import SlamSystem
+
+    cfg = CONFIG.replace(loop=LoopClosureConfig(
+        enabled=True, kf_interval=2, capacity=16, min_gap=5,
+        max_fp_dist=0.0, max_residual=0.05, smooth_skip=2))
+    planes, _ = default_world()
+    dT = np.asarray(se3.se3_exp(jnp.asarray(TWIST)))
+    pose = np.eye(4, dtype=np.float32)
+    gt, frames = [], []
+    for i in range(14):
+        frames.append(render_frame(pose, cfg, planes))
+        gt.append(pose.copy())
+        pose = (pose @ dT).astype(np.float32)
+    gt = np.stack(gt)
+
+    slam = SlamSystem(cfg)
+    for i, (rgb, depth_mm, _) in enumerate(frames):
+        slam.process(rgb, depth_mm, i / 30.0)
+
+    assert slam.loop_closures == []
+    assert len(slam.chain_smoothings) >= 2, slam.chain_smoothings
+    for s in slam.chain_smoothings:
+        assert s["residual"] < cfg.loop.max_residual
+    ate = slam.ate(np.arange(14) / 30.0, gt)
+    assert ate < 0.03, f"ATE {ate} with chain smoothing"
