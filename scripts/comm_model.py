@@ -143,6 +143,8 @@ def main():
         for op in per_op:
             row["by_kind"].setdefault(op["kind"], 0)
             row["by_kind"][op["kind"]] += op["wire_bytes"]
+        # The dominating individual transfers, for targeted byte cuts.
+        row["top_ops"] = sorted(per_op, key=lambda o: -o["wire_bytes"])[:12]
         out["meshes"].append(row)
         print(f"mesh pix{n_pix}xmap{n_map}: {len(per_op)} collectives, "
               f"{total/1e6:.2f} MB/device/frame -> t_comm "
