@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--rescue", type=float, default=None)
     ap.add_argument("--threshold", type=float, default=0.5)
     ap.add_argument("--json", default=None)
+    ap.add_argument("--save-probs", default=None,
+                    help="npz path for per-frame static_prob + gt masks "
+                         "(offline error-geography analysis)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -104,6 +107,9 @@ def main():
         "recall": round(float(np.mean([r["recall"] for r in rows])), 4),
     }
     print(json.dumps(agg))
+    if args.save_probs:
+        np.savez_compressed(args.save_probs, probs=probs,
+                            dyn=np.stack(dyns), depth=np.stack(depths))
     if args.json:
         with open(args.json, "w") as f:
             json.dump({"aggregate": agg, "frames": rows}, f, indent=2)

@@ -152,18 +152,20 @@ class LoopClosureConfig:
     kf_interval: int = 10     # frames between stored keyframes
     capacity: int = 64        # keyframe slots (fixed shapes)
     min_gap: int = 30         # frames a match must be older than the query
-    max_fp_dist: float = 0.2    # fingerprint MSE acceptance — the CHEAP
+    max_fp_dist: float = 0.3    # fingerprint acceptance — the CHEAP
                                 # pre-filter only (false closures are
                                 # rejected by max_residual below, which is
-                                # what the negative tests pin).
-                                # Calibration: clean-scene revisits score
-                                # <= 4.5e-3 (scripts/calibrate_loop.py);
-                                # on the adversarial walking suite (sensor
-                                # noise + a moving walker) genuine
-                                # revisits score ~0.08-0.17 while
-                                # non-revisit views score ~0.5-0.8 — 0.2
-                                # admits the former with ~3x margin to
-                                # the negative band.
+                                # what the negative tests pin).  The
+                                # distance is the TRIMMED per-cell score
+                                # (keyframes.query): a plain MSE is
+                                # dominated by the moving object on
+                                # genuine dynamic-scene revisits (measured
+                                # walk_loop: same-pose pairs 0.43-0.58 vs
+                                # the old 0.2 gate -> zero closures).
+                                # Calibration on walk_loop seed 0:
+                                # genuine revisits 0.13-0.26 trimmed,
+                                # wrong-place pairs >= 0.39; clean-scene
+                                # revisits remain ~1e-3.
     max_residual: float = 0.04  # depth-residual verification gate (m):
                                 # genuine matches ~5e-4, aliased
                                 # same-texture/different-geometry pairs
@@ -171,12 +173,17 @@ class LoopClosureConfig:
                                 # false closures (test_keyframes.py).
     loop_weight: float = 4.0  # loop vs odometry constraint weight
     gn_iters: int = 10        # pose-graph Gauss-Newton iterations
-    smooth_skip: int = 2      # periodic chain smoothing: on keyframe ticks
+    smooth_skip: int = 0      # periodic chain smoothing: on keyframe ticks
                               # with no closure, measure a skip constraint
                               # (keyframe count-skip -> current frame) and
-                              # optimize the chain against it, so
-                              # independent per-interval odometry errors
-                              # average instead of accumulating; 0 = off
+                              # optimize the chain against it.  OFF by
+                              # default: measured on the 100-frame walk
+                              # suite it moved ATE {0.199->0.201,
+                              # 0.216->0.234, 0.223->0.226} — the
+                              # wide-baseline solve shares the walker
+                              # contamination, so the extra constraint
+                              # adds noise, not information (ACCURACY.md
+                              # round 4); opt-in for static scenes
     smooth_weight: float = 1.0  # skip-constraint weight vs the chain
     deform_map: bool = True   # piecewise-rigid surfel-map correction on
                               # closure (keyframes.deform_map)

@@ -108,16 +108,31 @@ def add_keyframe(db: KeyframeDB, intensity: jnp.ndarray, depth: jnp.ndarray,
     )
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("grid", "trim_keep"))
 def query(db: KeyframeDB, emb: jnp.ndarray, cur_frame_idx,
-          min_gap) -> Tuple[jnp.ndarray, jnp.ndarray]:
+          min_gap, grid: Tuple[int, int] = FP_GRID,
+          trim_keep: float = 0.5) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(best_k, best_dist): nearest stored fingerprint at least `min_gap`
     frames older than `cur_frame_idx`.  best_dist is +inf when no keyframe
-    qualifies; the host applies the acceptance threshold."""
+    qualifies; the host applies the acceptance threshold.
+
+    The distance is a TRIMMED per-cell score: squared feature differences
+    are summed per coarse cell (3 channels each) and only the smallest
+    `trim_keep` fraction of cells is averaged.  In a dynamic scene the
+    moving object occupies DIFFERENT cells on a genuine revisit, so a plain
+    MSE is dominated by the mover (measured on the walk_loop suite:
+    same-pose pairs score 0.43-0.58 MSE-style vs a 0.2 gate — zero
+    closures fire); trimming drops the mover's cells while a wrong-place
+    pair stays high everywhere (same suite: genuine 0.13-0.26 trimmed vs
+    0.39+ wrong-place).  Geometric verification remains the correctness
+    gate (`relative_pose`)."""
+    G = grid[0] * grid[1]
     idx = jnp.arange(db.emb.shape[0])
     eligible = ((idx < db.count)
                 & (db.frame_idx <= jnp.asarray(cur_frame_idx) - min_gap))
-    d2 = jnp.mean((db.emb - emb[None, :]) ** 2, axis=1)
+    cell = ((db.emb - emb[None, :]) ** 2).reshape(-1, 3, G).sum(axis=1)
+    keep = max(1, int(trim_keep * G))
+    d2 = jnp.mean(jnp.sort(cell, axis=-1)[:, :keep], axis=-1)
     d2 = jnp.where(eligible, d2, jnp.inf)
     best = jnp.argmin(d2)
     return best, d2[best]
