@@ -43,7 +43,13 @@ def main():
     fkw = dict(capacity=capacity, index_factor=factor)
     if "SF_BENCH_POST_FACTOR" in os.environ:   # else the config default (2)
         fkw["post_factor"] = int(os.environ["SF_BENCH_POST_FACTOR"])
+    skw = {}
+    if "SF_BENCH_LAMBDA_REG" in os.environ:  # preset comparisons (PERF.md)
+        skw["lambda_reg"] = float(os.environ["SF_BENCH_LAMBDA_REG"])
+    from staticfusion_tpu.config import SolverConfig
+
     config = SFConfig(camera=CameraConfig(width=640 // rf, height=480 // rf),
+                      solver=SolverConfig(**skw),
                       fusion=FusionConfig(**fkw))
 
     twist = np.array([0.004, -0.002, 0.006, 0.0015, -0.001, 0.002], np.float32)

@@ -37,6 +37,8 @@ def run_one(profile: str, factor: int, n_frames: int, res_factor: int = 2,
     lkw = dict(enabled=loop)
     if smooth_skip is not None:
         lkw["smooth_skip"] = smooth_skip
+    if os.environ.get("SF_LOOP_NO_DEFORM"):
+        lkw["deform_map"] = False
     config = SFConfig(camera=CameraConfig(width=640 // res_factor,
                                           height=480 // res_factor),
                       fusion=FusionConfig(**fkw),
@@ -74,6 +76,7 @@ def run_one(profile: str, factor: int, n_frames: int, res_factor: int = 2,
         "post_factor": config.fusion.post_factor,
         "loop": loop, "smooth_skip": config.loop.smooth_skip if loop else 0,
         "closures": len(slam.loop_closures),
+        "closure_events": slam.loop_closures,
         "smoothings": len(slam.chain_smoothings),
         "ate_rmse_m": round(ate, 5), "rpe_rmse_m": round(rpe, 5),
         "seg_iou": round(float(np.mean(ious)), 4) if ious else None,

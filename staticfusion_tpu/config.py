@@ -66,6 +66,7 @@ class FusionConfig:
     depth_min: float = 0.3               # depth_metric.frag:32 (300 mm gate)
     index_factor: int = 4                # index-map super-resolution factor; 4 matches the reference (IndexMap.cpp:21) and is the accuracy-best measured config (ACCURACY.md), shipped as the default at ~45 fps QVGA; 1 is the fast preset (~125 fps). Even F>1 runs the surfel-major sparse fuse (fusion/sparse.py) whose indexed ops stay O(capacity)
     post_factor: int = 2                 # texel factor of the post-merge clean window test + prediction splat in the sparse fuse; 0 = index_factor, 1 = camera res (cheapest). Default 2: best measured walk-suite ATE/IoU across seeds AND 39.5 fps at F=4 (ACCURACY.md round 3). Ignored at index_factor 1.
+    route_factor: int = 0                # F=1 dense-fuse routing stride: the fuse (render/associate/merge/clean/insert) runs on an (H/route, W/route) grid while the solver keeps native resolution. 0 = auto: cap the fuse grid at QVGA rows (1 at <=QVGA — no change; 2 at VGA). The reference runs EVERYTHING at QVGA (res_factor=2 in all mains, README.md:97); route 2 at VGA gives native-VGA tracking with reference-fidelity QVGA mapping at ~1.5x the fps (PERF.md round 4). Set 1 to force full-resolution mapping.
     time_delta: int = 200                # Reconstruction.h (timeDelta window)
     velocity_weight_cap: float = 0.15    # Reconstruction.cpp:274
     velocity_weight_floor: float = 0.5   # Reconstruction.cpp:275

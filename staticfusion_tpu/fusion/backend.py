@@ -14,7 +14,11 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from staticfusion_tpu.config import SFConfig
+import dataclasses
+
+import jax
+
+from staticfusion_tpu.config import CameraConfig, SFConfig
 from staticfusion_tpu.fusion import predict, sparse
 from staticfusion_tpu.fusion.association import associate, associate_texels
 from staticfusion_tpu.fusion.clean import (clean_and_insert,
@@ -40,6 +44,26 @@ def velocity_weighting(curr_pose: jnp.ndarray, last_pose: jnp.ndarray,
     w = jnp.minimum(jnp.maximum(dt, dr), fus.velocity_weight_cap)
     return jnp.maximum(1.0 - w / fus.velocity_weight_cap,
                        fus.velocity_weight_floor) * weight_multiplier
+
+
+def effective_route_factor(config: SFConfig) -> int:
+    """Resolved FusionConfig.route_factor (0 = auto: cap the dense-fuse
+    grid at QVGA rows — 1 at <=240 rows, 2 at VGA)."""
+    rf = config.fusion.route_factor
+    if rf > 0:
+        return rf
+    return max(1, config.camera.height // 240)
+
+
+def routed_config(config: SFConfig, rf: int) -> SFConfig:
+    """The same config with the camera scaled 1/rf (FOV-derived intrinsics
+    scale consistently)."""
+    cam = config.camera
+    return config.replace(
+        camera=CameraConfig(
+            width=cam.width // rf, height=cam.height // rf,
+            fovh_deg=cam.fovh_deg, fovv_deg=cam.fovv_deg),
+        fusion=dataclasses.replace(config.fusion, route_factor=1))
 
 
 class FuseResult(NamedTuple):
@@ -76,6 +100,23 @@ def fuse_frame(smap: SurfelMap,
         return fuse_frame_sparse(smap, curr_pose, T_odometry, raw_depth_m,
                                  filtered_depth_m, rgb, static_prob, tick,
                                  config, weight_multiplier)
+    rf = effective_route_factor(config)
+    if rf > 1:
+        # Routed fuse: map update on the 1/rf grid (QVGA-capped), solver
+        # stays native-res upstream.  Strided picks keep exact-0 depth
+        # sentinels intact; the half-res camera model is self-consistent
+        # (FOV-derived intrinsics), with a constant half-full-pixel center
+        # offset worth ~2 mm at 2 m — below sensor noise.  The carried
+        # prediction is upsampled back to native res for the solver.
+        cfg_r = routed_config(config, rf)
+        res = fuse_frame(smap, curr_pose, T_odometry,
+                         raw_depth_m[::rf, ::rf],
+                         filtered_depth_m[::rf, ::rf],
+                         rgb[::rf, ::rf], static_prob[::rf, ::rf],
+                         tick, cfg_r, weight_multiplier)
+        up = lambda a: jnp.repeat(jnp.repeat(a, rf, axis=0), rf, axis=1)
+        pred = jax.tree_util.tree_map(up, res.pred)
+        return res._replace(pred=pred)
     fus = config.fusion
     last_pose = curr_pose
     curr_pose = curr_pose @ T_odometry

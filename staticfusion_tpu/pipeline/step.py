@@ -98,10 +98,17 @@ def bootstrap_step(frame0: Frame, frame1: Frame, initial_pose: jnp.ndarray,
     # host grows it in power-of-two tiers as the map fills
     # (SlamSystem._maybe_resize_map), so per-surfel pass costs track the
     # live surfel count — the reference's `count`-driven processing.
+    # Under routed fusion (backend.effective_route_factor > 1) the map is
+    # built from the routed grid, so the initial map matches the steady
+    # -state surfel density.
+    rf = backend.effective_route_factor(config)
+    cfg_map = backend.routed_config(config, rf) if rf > 1 else config
     cap0 = min(config.fusion.capacity,
-               surfels.next_tier(frame1.depth_mm.size))
-    smap = surfels.initialise_map(cap0, raw_m, filt_m,
-                                  frame1.rgb, static_prob, pose, config)
+               surfels.next_tier(frame1.depth_mm[::rf, ::rf].size))
+    smap = surfels.initialise_map(cap0, raw_m[::rf, ::rf],
+                                  filt_m[::rf, ::rf],
+                                  frame1.rgb[::rf, ::rf],
+                                  static_prob[::rf, ::rf], pose, cfg_map)
 
     rings = _store_ring(state.rings, 0, depth0, intens0, jnp.eye(4))
     rings = _store_ring(rings, 1, depth1, intens1, sol.T_odometry)

@@ -266,13 +266,16 @@ class SlamSystem:
             T, resid = keyframes.relative_pose(
                 db.intensity[k], db.depth[k], inten, depth, self.config)
             if float(resid) < lc.max_residual:
+                pose_before = np.asarray(pose)
                 pose, db = self._apply_graph_correction(
                     db, pose, n, k, T, lc.loop_weight)
                 out = out._replace(curr_pose=pose)
                 closed = True
                 self.loop_closures.append({
                     "frame": n, "keyframe": int(db.frame_idx[k]),
-                    "fp_dist": float(dist), "residual": float(resid)})
+                    "fp_dist": float(dist), "residual": float(resid),
+                    "gap_m": float(np.linalg.norm(
+                        np.asarray(pose)[:3, 3] - pose_before[:3, 3]))})
         if (not closed and lc.smooth_skip > 0
                 and int(db.count) > lc.smooth_skip
                 and int(db.count) < db.emb.shape[0]):

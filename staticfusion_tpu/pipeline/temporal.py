@@ -43,6 +43,10 @@ def compute_temporal_residuals(rings: RingBuffers,
 
     T_fwd = jax.lax.fori_loop(0, L - 1, body, jnp.eye(4)) @ T_odometry
 
+    # (Round-4 finding: subsampling this field with strided [::2] slices
+    # LOST ~1 ms/frame at QVGA and ~3 ms at VGA — the non-contiguous
+    # layouts cost more than the smaller warp gather saves.  Full
+    # resolution, reference-exact, is also the fast path on TPU.)
     depth_old = rings.depth[idx_to_warp]
     intensity_old = rings.intensity[idx_to_warp]
     xx, yy = coords_for_level(depth_old, config.camera.fovh)

@@ -62,13 +62,14 @@ def test_walk_xyz_ate_and_iou_f1():
 
 
 def test_walk_xyz_ate_and_iou_f4_default():
-    """The DEFAULT dynamics config (index_factor=4, post_factor=2): the
-    strongest accuracy claim in the repo — must stay inside the paper's
-    fr3_walking band (~0.09-0.13 m) with margin, and segment better than
-    the F=1 path."""
+    """The DEFAULT config (index_factor=4, post_factor=2, lambda_reg=1.2):
+    the strongest accuracy claim in the repo.  Round-4 bands (chip, 3
+    seeds): 40-frame ATE 0.012-0.013, 30-frame IoU 0.70-0.72; gates carry
+    ~4x/0.15 margin for CPU-compile variance.  The paper's fr3_walking
+    band is ~0.09-0.13 m — the gate now sits 2.6x inside it."""
     ate, iou = _run("walk_xyz", factor=4)
-    assert ate < 0.13, f"walk_xyz F=4 ATE {ate:.4f} beyond the paper band"
-    assert iou is not None and iou > 0.30, f"segmentation IoU {iou}"
+    assert ate < 0.05, f"walk_xyz F=4 ATE {ate:.4f} beyond the round-4 band"
+    assert iou is not None and iou > 0.55, f"segmentation IoU {iou}"
 
 
 def test_fast_rotation_ate():

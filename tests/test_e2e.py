@@ -234,3 +234,24 @@ def test_process_batch_matches_per_frame():
         (probs <= 1).all()
     # Metrics flow through the batch path too.
     assert len(b.metrics) == len(frames) - 1
+
+
+def test_routed_fusion_tracks():
+    """Routed fusion (FusionConfig.route_factor > 1): the map fuse runs on
+    a 1/rf grid while the solver keeps native resolution (the VGA >=30 fps
+    mode; at VGA the auto default caps the fuse grid at QVGA).  Tracking
+    must stay accurate and the map density must follow the routed grid."""
+    import dataclasses
+
+    cfg = CONFIG.replace(
+        fusion=dataclasses.replace(CONFIG.fusion, route_factor=2))
+    frames, gt = synthetic.make_sequence(cfg, 8, TWIST)
+    slam = SlamSystem(cfg)
+    for i, (rgb, d, _) in enumerate(frames):
+        slam.process(rgb, d, i / 30.0)
+    ate = slam.ate(np.arange(8) / 30.0, gt)
+    assert ate < 0.02, f"routed-fusion ATE {ate}"
+    # Map built from the 1/2 grid: about a quarter of the full-res pixels.
+    n = int(slam.state.smap.count())
+    full_px = cfg.rows * cfg.cols
+    assert n < full_px // 2, (n, full_px)

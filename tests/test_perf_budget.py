@@ -38,14 +38,17 @@ from staticfusion_tpu.pipeline.state import init_state
 from staticfusion_tpu.pipeline.step import Frame, slam_step
 from staticfusion_tpu.utils import perf
 
-# Measured on the CPU backend at the revert commit (126.4 fps F=1 /
-# 44.8 fps F=4 on the real chip the same session): F=1 flops 1.67e9,
-# bytes 3.83e9, scatter 358k, gather 525k, ops 19; F=4 flops 3.72e9,
-# bytes 5.42e9, scatter 1.13M, gather 1.34M, ops 28.  Keys must stay
-# within budget; re-baseline only with a fresh real-chip bench.
+# Measured on the CPU backend, re-baselined after the round-4
+# surfel-major writeback (129.0 fps F=1 / 44.7 fps F=4 / 48.8 fps VGA
+# routed on the real chip the same session): F=1 flops 1.77e9, bytes
+# 4.27e9, scatter 281k, gather 787k, ops 20 (the writeback trades 77k
+# scatter rows for 262k cheaper gather rows — scatter rows pay a
+# tile-RMW, measured 3x a gather row); F=4 flops 3.72e9, bytes 5.42e9,
+# scatter 1.13M, gather 1.34M, ops 28.  Keys must stay within budget;
+# re-baseline only with a fresh real-chip bench.
 BUDGETS = {
-    1: {"bytes_accessed": 5.0e9, "scatter_rows": 470_000,
-        "gather_rows": 700_000, "indexed_ops": 25, "flops": 2.2e9},
+    1: {"bytes_accessed": 5.6e9, "scatter_rows": 370_000,
+        "gather_rows": 1_050_000, "indexed_ops": 26, "flops": 2.3e9},
     4: {"bytes_accessed": 7.1e9, "scatter_rows": 1_500_000,
         "gather_rows": 1_800_000, "indexed_ops": 36, "flops": 4.9e9},
 }
