@@ -41,13 +41,14 @@ class SolverConfig:
     kmeans_iters: int = 10               # KMeans.cpp:142
     kmeans_tol: float = 1e-2             # KMeans.cpp:227
     kmeans_level: int = -1               # pyramid level the Lloyd iterations
-                                         # run at; -1 = auto: the level whose
-                                         # row count matches the reference's
-                                         # fixed K-means grid (<=120 rows =
-                                         # half its QVGA input) — granularity
-                                         # stays reference-exact as camera
-                                         # resolution rises (level 1 at QVGA,
-                                         # level 2 at VGA)
+                                         # run at; -1 = auto: shallowest
+                                         # level with <=120 rows (level 1 at
+                                         # QVGA — reference-exact there; the
+                                         # reference's own rule is rows/2 of
+                                         # its WORKING res, so VGA would be
+                                         # 240 rows — auto level 2 at VGA is
+                                         # a deliberate perf deviation; set
+                                         # explicitly to restore rows/2)
     fused_irls: bool = True              # one Pallas kernel per IRLS
                                          # iteration on TPU (kernels/
                                          # irls_pallas.py); the XLA

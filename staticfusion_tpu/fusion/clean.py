@@ -181,11 +181,14 @@ def clean_and_insert(smap: SurfelMap,
     ins = new.is_new & (slot < smap.capacity) & (rank < n_slots)
     tgt = jnp.where(ins, slot, smap.capacity)  # out of range -> dropped
 
-    # ONE wide row-scatter instead of nine narrow ones: TPU scatter cost is
-    # dominated by the per-index work, so packing all 15 surfel fields into
-    # one (P, 15) payload writes them all for ~the price of one
-    # (scripts/microbench_scatter.py: 9x narrow = 3.4 ms, 1x 16-wide =
-    # 1.1 ms at P=77k).
+    # ONE wide row-scatter instead of nine narrow ones (one (P, 15)
+    # payload writes all fields for ~the price of one: 9x narrow 3.4 ms vs
+    # 1x 16-wide 1.1 ms at P=77k, round-3 microbench).  This slot-routed
+    # path is the rarely-run reference-parity ORACLE; the production
+    # write-back (`writeback_and_insert`) has since moved to a
+    # surfel-major gather, which beats any scatter formulation — the wide
+    # scatter is retained here only because this path exists for
+    # equivalence tests, not speed.
     col = lambda a: a[:, None]
     tick_col = jnp.full((max_new, 1), tickf)
     base = jnp.concatenate([

@@ -123,6 +123,49 @@ def trajectory_walk_xyz(n: int) -> np.ndarray:
     return np.stack([vx, vy, vz, wx, wy, wz], axis=1).astype(np.float32)
 
 
+def make_crossing_walker(n_frames: int, z: float = 1.45,
+                         enter: float = 0.25,
+                         leave: float = 0.75) -> List[SphereT]:
+    """Walker that crosses the scene during the MIDDLE of the sequence
+    (on screen roughly frames [enter*n, leave*n], off screen otherwise).
+
+    This is the fr3-walking shape — a person walks through an otherwise
+    static scan — and the shape loop closure needs: the early keyframes
+    are built from clean frames (accurate poses), the mid-sequence
+    dynamics accrue drift, and the late revisit can anchor against the
+    accurate early keyframes.  A walker present from frame 0 corrupts the
+    very keyframes the closure would anchor to (measured round 4: drift
+    reaches 0.2 m by frame 10 on the always-on-screen variant, making the
+    loop constraint consistent-with-drift and the closure a no-op)."""
+    t_in, t_out = enter * n_frames, leave * n_frames
+
+    def part(dy, r, swing=0.0, phase=0.0, dz=0.0):
+        def fn(t):
+            if t < t_in or t > t_out:
+                # Parked outside the room (behind the left wall): rays hit
+                # the wall first, so the walker is off screen.
+                return np.array([-9.0, dy, z + dz])
+            # Pace around the region the sweeping camera looks at.
+            base = 0.3 + 0.9 * math.sin(0.12 * (t - t_in))
+            limb = swing * math.sin(0.9 * t + phase)
+            return np.array([base + limb, dy, z + dz
+                             + 0.12 * math.sin(0.31 * t)])
+        return fn
+
+    skin = np.array([0.75, 0.58, 0.48])
+    shirt = np.array([0.25, 0.35, 0.65])
+    pants = np.array([0.30, 0.28, 0.26])
+    return [
+        SphereT(part(-0.70, 0.18), 0.18, True, skin),
+        SphereT(part(-0.28, 0.34), 0.34, True, shirt),
+        SphereT(part(0.14, 0.32), 0.32, True, shirt),
+        SphereT(part(-0.28, 0.15, 0.24, 0.0, -0.06), 0.15, True, skin),
+        SphereT(part(-0.28, 0.15, 0.24, math.pi, -0.06), 0.15, True, skin),
+        SphereT(part(0.62, 0.17, 0.20, math.pi / 2), 0.17, True, pants),
+        SphereT(part(0.62, 0.17, 0.20, -math.pi / 2), 0.17, True, pants),
+    ]
+
+
 def trajectory_walk_loop(n: int) -> np.ndarray:
     """Out-and-back revisit loop: sweep away (lateral translate + yaw) for
     n/2 frames, then retrace exactly (second half = time-reversed negated
@@ -132,12 +175,17 @@ def trajectory_walk_loop(n: int) -> np.ndarray:
     Reconstruction.cpp:315)."""
     m = n // 2
     t = np.arange(m)
-    vx = 0.014 + 0.004 * np.cos(0.21 * t)
-    vy = 0.005 * np.sin(0.27 * t + 0.3)
-    vz = 0.006 * np.sin(0.13 * t)
-    wx = 0.003 * np.sin(0.17 * t + 0.9)
-    wy = 0.010 + 0.004 * np.cos(0.11 * t)
-    wz = 0.002 * np.sin(0.23 * t)
+    # Excursion amplitude is length-normalized (s == 1 at the 100-frame
+    # suite) so longer sequences sweep the SAME room-scale loop more
+    # slowly instead of walking through a wall: drift then accumulates
+    # with time while the geometry stays valid.
+    s = 50.0 / m
+    vx = (0.014 + 0.004 * np.cos(0.21 * t)) * s
+    vy = 0.005 * np.sin(0.27 * t + 0.3) * s
+    vz = 0.006 * np.sin(0.13 * t) * s
+    wx = 0.003 * np.sin(0.17 * t + 0.9) * s
+    wy = (0.010 + 0.004 * np.cos(0.11 * t)) * s
+    wz = 0.002 * np.sin(0.23 * t) * s
     out = np.stack([vx, vy, vz, wx, wy, wz], axis=1)
     back = -out[::-1]
     tw = np.concatenate([out, back], axis=0)
@@ -354,10 +402,12 @@ def make_adversarial_sequence(config, n_frames: int,
         twists = trajectory_walk_xyz(n_frames)
         spheres = static_clutter() + make_walker()
     elif profile == "walk_loop":
-        # Drift-heavy out-and-back revisit with the walker on screen: the
-        # loop-closure regime (see trajectory_walk_loop).
+        # Drift-heavy out-and-back revisit with a walker crossing the
+        # scene mid-sequence: the loop-closure regime (clean early
+        # keyframes, dynamic-interval drift, late revisit — see
+        # make_crossing_walker / trajectory_walk_loop).
         twists = trajectory_walk_loop(n_frames)
-        spheres = static_clutter() + make_walker()
+        spheres = static_clutter() + make_crossing_walker(n_frames)
     elif profile == "fast_rot":
         twists = trajectory_fast_rot(n_frames)
         spheres = static_clutter()

@@ -164,10 +164,14 @@ def compute_connectivity(depth: jnp.ndarray, xx: jnp.ndarray, yy: jnp.ndarray,
 def kmeans_level_for(config: SFConfig) -> int:
     """Pyramid level the Lloyd iterations run at.
 
-    Auto (-1): the shallowest level with <=120 rows — the reference's fixed
-    K-means grid (it clusters at half its QVGA input, KMeans.cpp:65-74), so
-    cluster granularity stays reference-exact as camera resolution rises
-    instead of scaling the O(pixels * K * iters) Lloyd cost with it."""
+    Auto (-1): the shallowest level with <=120 rows.  The reference
+    clusters at rows/2 of its WORKING resolution (KMeans.cpp:66 with
+    rows = 480/res_factor, FrontEnd.cpp:55) — 120 rows at its QVGA
+    operating point, but 240 at VGA.  Capping at 120 is therefore
+    reference-exact at <=QVGA and a deliberate perf deviation above it
+    (the O(pixels * K * iters) Lloyd cost stays flat as resolution
+    rises); set `kmeans_level` explicitly to restore the reference's
+    rows/2 rule at higher resolutions."""
     lvl = config.solver.kmeans_level
     if lvl >= 0:
         return min(lvl, config.ctf_levels - 1)
