@@ -194,6 +194,97 @@ def trajectory_walk_loop(n: int) -> np.ndarray:
     return tw.astype(np.float32)
 
 
+def corridor_planes(length: float = 12.0) -> List[Plane]:
+    """A long corridor along +z: the EXPLORATION world.  Unlike the room,
+    the outbound leg continuously enters unseen territory while old
+    territory leaves the frustum (and, past `time_delta`, the active map
+    entirely — the archive), so odometry error accumulates in the map
+    itself instead of being absorbed by frame-to-model re-anchoring.
+    This is the regime loop closure exists for."""
+    return [
+        Plane(np.array([0.0, 0.0, length]), np.array([0.0, 0.0, -1.0])),
+        Plane(np.array([0.0, 0.0, -2.0]), np.array([0.0, 0.0, 1.0])),
+        Plane(np.array([0.0, 1.2, 0.0]), np.array([0.0, -1.0, 0.0])),
+        Plane(np.array([0.0, -1.2, 0.0]), np.array([0.0, 1.0, 0.0])),
+        Plane(np.array([-1.2, 0.0, 0.0]), np.array([1.0, 0.0, 0.0])),
+        Plane(np.array([1.2, 0.0, 0.0]), np.array([-1.0, 0.0, 0.0])),
+    ]
+
+
+def trajectory_corridor_loop(n: int, depth: float = 8.0) -> np.ndarray:
+    """Dolly `depth` meters down the corridor over n/2 frames (continuously
+    new territory), then dolly back — facing forward the whole time, so
+    the return leg revisits every outbound view with matching orientation.
+    Handheld wobble on all axes."""
+    m = n // 2
+    t = np.arange(m)
+    vz = np.full(m, depth / m)
+    vx = 0.004 * np.sin(0.23 * t)
+    vy = 0.003 * np.sin(0.31 * t + 0.5)
+    wx = 0.0015 * np.sin(0.19 * t)
+    wy = 0.002 * np.sin(0.13 * t + 1.0)
+    wz = 0.001 * np.sin(0.29 * t)
+    out = np.stack([vx, vy, vz, wx, wy, wz], axis=1)
+    back = -out[::-1]
+    tw = np.concatenate([out, back], axis=0)
+    if tw.shape[0] < n:
+        tw = np.concatenate([tw, np.zeros((n - tw.shape[0], 6))], axis=0)
+    return tw.astype(np.float32)
+
+
+def make_corridor_walker(n_frames: int, depth: float = 8.0,
+                         enter: float = 0.12,
+                         leave: float = 0.48) -> List[SphereT]:
+    """Walker pacing ~2 m ahead of the OUTBOUND camera during
+    [enter*n, leave*n] — dynamics contaminate the exploration leg (where
+    map drift is born) and are gone for the clean early keyframes and the
+    return leg."""
+    m = n_frames // 2
+    t_in, t_out = enter * n_frames, leave * n_frames
+
+    def cam_z(t):
+        return depth * min(t, m) / m if t <= m else depth * (2.0 - t / m)
+
+    def part(dy, r, swing=0.0, phase=0.0, dz=0.0):
+        def fn(t):
+            if t < t_in or t > t_out:
+                return np.array([0.0, dy, -9.0])   # behind the back wall
+            x = 0.55 * math.sin(0.17 * (t - t_in))
+            limb = swing * math.sin(0.9 * t + phase)
+            return np.array([x + limb, dy,
+                             cam_z(t) + 2.0 + dz
+                             + 0.10 * math.sin(0.27 * t)])
+        return fn
+
+    skin = np.array([0.75, 0.58, 0.48])
+    shirt = np.array([0.25, 0.35, 0.65])
+    pants = np.array([0.30, 0.28, 0.26])
+    return [
+        SphereT(part(-0.62, 0.16), 0.16, True, skin),
+        SphereT(part(-0.26, 0.30), 0.30, True, shirt),
+        SphereT(part(0.12, 0.28), 0.28, True, shirt),
+        SphereT(part(-0.26, 0.13, 0.22, 0.0, -0.05), 0.13, True, skin),
+        SphereT(part(-0.26, 0.13, 0.22, math.pi, -0.05), 0.13, True, skin),
+        SphereT(part(0.55, 0.15, 0.18, math.pi / 2), 0.15, True, pants),
+        SphereT(part(0.55, 0.15, 0.18, -math.pi / 2), 0.15, True, pants),
+    ]
+
+
+def corridor_clutter(length: float = 12.0) -> List[SphereT]:
+    """Static spheres along the corridor (non-planar geometry everywhere
+    the camera goes, so normals/radii stay exercised)."""
+    rng = np.random.default_rng(7)
+    out = []
+    for i in range(10):
+        z = 0.8 + i * (length - 1.6) / 9.0
+        side = 1 if i % 2 == 0 else -1
+        out.append(SphereT(
+            _static([side * (0.85 + 0.2 * rng.random()),
+                     0.7 + 0.3 * rng.random(), z]),
+            0.18 + 0.12 * rng.random()))
+    return out
+
+
 def trajectory_fast_rot(n: int) -> np.ndarray:
     """Fast-rotation profile: yaw sweeps up to ~1.7 deg/frame (50 deg/s at
     30 Hz) with handheld translation."""
@@ -281,13 +372,32 @@ def _texture_adv(p: np.ndarray) -> np.ndarray:
     return np.where(flat[..., None], 0.62, tex)
 
 
+def _texture_corridor(p: np.ndarray) -> np.ndarray:
+    """Corridor texture: _texture_adv plus a CHIRPED (non-repeating)
+    component along z.  The base texture is sin-composed and nearly
+    periodic, so two corridor cross-sections meters apart can pass even a
+    photometric verification (measured: a 6.4 m z-aliased alignment scored
+    0.024 joint residual — inside the gate).  Real corridors carry
+    distinguishing detail (posters, doors, scuffs); the chirp is its
+    minimal analytic stand-in, and keeps this profile a drift-closure test
+    rather than a perceptual-aliasing test (the negative controls in
+    test_keyframes cover aliasing)."""
+    tex = _texture_adv(p)
+    z = p[..., 2]
+    chirp = (0.12 * np.sin(0.9 * z + 0.25 * z * z)
+             * np.sin(3.1 * p[..., 1] + 1.7 * p[..., 0]))
+    return np.clip(tex + chirp[..., None], 0.03, 0.97)
+
+
 def render_adversarial_frame(pose: np.ndarray, config, frame_idx: int,
                              spheres: List[SphereT],
                              planes: Optional[List[Plane]] = None,
                              sensor: Optional[SensorModel] = None,
-                             rng: Optional[np.random.Generator] = None):
+                             rng: Optional[np.random.Generator] = None,
+                             texture_fn=None):
     """-> (rgb, depth_mm, dynamic_mask) from camera-to-world `pose`."""
     planes = room_planes() if planes is None else planes
+    texture_fn = _texture_adv if texture_fn is None else texture_fn
     sensor = SensorModel() if sensor is None else sensor
     rng = np.random.default_rng(frame_idx) if rng is None else rng
     cam = config.camera
@@ -337,7 +447,7 @@ def render_adversarial_frame(pose: np.ndarray, config, frame_idx: int,
     pts = origin + dirs * best_t[..., None]
     depth = np.where(np.isfinite(best_t), best_t, 0.0)  # dir z == 1 in cam
 
-    tex = _texture_adv(pts)
+    tex = texture_fn(pts)
     # Spheres with flat albedo get simple lambert shading so they are not
     # texture-free blobs (a headless person-blob with zero texture would be
     # unrealistically easy for the photometric term to ignore).
@@ -408,6 +518,15 @@ def make_adversarial_sequence(config, n_frames: int,
         # make_crossing_walker / trajectory_walk_loop).
         twists = trajectory_walk_loop(n_frames)
         spheres = static_clutter() + make_crossing_walker(n_frames)
+    elif profile == "corridor_loop":
+        # Exploration out-and-back: continuously new territory on the way
+        # out (map drift is born there), matching-orientation revisits on
+        # the way back — the regime where frame-to-model tracking cannot
+        # absorb drift and loop closure has real work to do.
+        twists = trajectory_corridor_loop(n_frames)
+        spheres = corridor_clutter() + make_corridor_walker(n_frames)
+        planes = corridor_planes()
+        texture_fn = _texture_corridor
     elif profile == "fast_rot":
         twists = trajectory_fast_rot(n_frames)
         spheres = static_clutter()
@@ -416,6 +535,9 @@ def make_adversarial_sequence(config, n_frames: int,
         spheres = static_clutter()
     else:
         raise ValueError(f"unknown profile {profile!r}")
+    if profile != "corridor_loop":
+        planes = None
+        texture_fn = None
 
     rng = np.random.default_rng(seed)
     sensor = SensorModel() if sensor is None else sensor
@@ -423,7 +545,8 @@ def make_adversarial_sequence(config, n_frames: int,
     frames, poses = [], []
     for i in range(n_frames):
         frames.append(render_adversarial_frame(
-            pose, config, i, spheres, sensor=sensor, rng=rng))
+            pose, config, i, spheres, planes=planes, sensor=sensor, rng=rng,
+            texture_fn=texture_fn))
         poses.append(pose.copy())
         dT = np.asarray(se3_exp(jnp.asarray(twists[i], jnp.float32)))
         pose = (pose @ dT).astype(np.float32)

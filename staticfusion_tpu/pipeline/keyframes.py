@@ -141,7 +141,7 @@ def query(db: KeyframeDB, emb: jnp.ndarray, cur_frame_idx,
 @partial(jax.jit, static_argnames=("config",))
 def relative_pose(kf_intensity: jnp.ndarray, kf_depth: jnp.ndarray,
                   intensity: jnp.ndarray, depth: jnp.ndarray,
-                  config: SFConfig):
+                  config: SFConfig, T_init: jnp.ndarray | None = None):
     """kf_T_cur via the frame-to-frame joint solver (raw depth both sides,
     zero velocity prior).
 
@@ -170,7 +170,7 @@ def relative_pose(kf_intensity: jnp.ndarray, kf_depth: jnp.ndarray,
     pred_pyr, cur_pyr = build_pyramid_pair(kf_depth, kf_intensity,
                                            depth, intensity, config)
     sol = run_solver(cur_pyr, pred_pyr, jnp.zeros((6,)), config,
-                     kb=config.solver.kb)
+                     kb=config.solver.kb, T_init=T_init)
     warped = warp_images_gather(pred_pyr[0], cur_pyr[0].depth,
                                 sol.T_odometry, config.camera.fovh)
     # Per-pixel static probability of the current frame from the solve
@@ -181,8 +181,24 @@ def relative_pose(kf_intensity: jnp.ndarray, kf_depth: jnp.ndarray,
     static = b_ext[jnp.clip(sol.clustering.labels[0], 0, k)] > 0.5
     covis = ((warped.depth > 0.0) & (cur_pyr[0].depth > 0.0)
              & static).astype(jnp.float32)
-    err = jnp.abs(cur_pyr[0].depth - warped.depth)
-    resid = jnp.nanmedian(jnp.where(covis > 0, err, jnp.nan))
+    # Joint depth + PHOTOMETRIC residual (the temporal check's 0.15 mix,
+    # FrontEnd.cpp:1041): depth alone cannot reject aliased alignments in
+    # self-similar geometry — two corridor cross-sections are
+    # depth-identical under a z-shift, and a depth-only median accepted
+    # them (27 false/foldback closures, ATE 1.94 -> 2.32 on
+    # corridor_loop).  Intensities are mean-normalized over the masked
+    # region first, cancelling the rolling-exposure gain.
+    m = covis > 0
+    i_cur = cur_pyr[0].intensity
+    i_wrp = warped.intensity
+    mean_cur = jnp.sum(jnp.where(m, i_cur, 0.0)) / jnp.maximum(
+        jnp.sum(covis), 1.0)
+    mean_wrp = jnp.sum(jnp.where(m, i_wrp, 0.0)) / jnp.maximum(
+        jnp.sum(covis), 1.0)
+    i_err = jnp.abs(i_cur / jnp.maximum(mean_cur, 1e-6)
+                    - i_wrp / jnp.maximum(mean_wrp, 1e-6))
+    err = jnp.abs(cur_pyr[0].depth - warped.depth) + 0.15 * i_err
+    resid = jnp.nanmedian(jnp.where(m, err, jnp.nan))
     frac = jnp.sum(covis) / covis.size
     resid = jnp.where(frac < 0.25, jnp.inf, resid)
     return sol.T_odometry, resid

@@ -263,8 +263,22 @@ class SlamSystem:
         closed = False
         if float(dist) < lc.max_fp_dist and int(db.count) < db.emb.shape[0]:
             k = int(best)
-            T, resid = keyframes.relative_pose(
+            # Two verification solves, keep the better-verified: identity
+            # init is in-basin for a genuine revisit (true relative ~ I no
+            # matter how far the chain drifted), chain-predicted init is
+            # in-basin for a drifted-but-overlapping pair (wide baselines
+            # are outside the dense solver's zero-init basin).  The joint
+            # depth+photometric residual arbitrates; a pair neither init
+            # can verify is rejected.
+            from staticfusion_tpu.geometry.se3 import se3_inverse
+
+            T0 = se3_inverse(db.poses[k]) @ pose
+            T_a, r_a = keyframes.relative_pose(
                 db.intensity[k], db.depth[k], inten, depth, self.config)
+            T_b, r_b = keyframes.relative_pose(
+                db.intensity[k], db.depth[k], inten, depth, self.config,
+                T_init=T0)
+            T, resid = (T_a, r_a) if float(r_a) <= float(r_b) else (T_b, r_b)
             if float(resid) < lc.max_residual:
                 pose_before = np.asarray(pose)
                 pose, db = self._apply_graph_correction(
@@ -288,9 +302,13 @@ class SlamSystem:
             # errors average down instead of accumulating (the loop
             # machinery applied at drift-control cadence; net-new vs the
             # reference, which lets drift run forever).
+            from staticfusion_tpu.geometry.se3 import se3_inverse
+
             k = int(db.count) - lc.smooth_skip
+            T0 = se3_inverse(db.poses[k]) @ pose
             T, resid = keyframes.relative_pose(
-                db.intensity[k], db.depth[k], inten, depth, self.config)
+                db.intensity[k], db.depth[k], inten, depth, self.config,
+                T_init=T0)
             if float(resid) < lc.max_residual:
                 pose, db = self._apply_graph_correction(
                     db, pose, n, k, T, lc.smooth_weight)

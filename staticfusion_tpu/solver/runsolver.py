@@ -68,15 +68,24 @@ def _solve_at_level(cur: PyramidLevel, warped: WarpedImages,
 
 
 def run_solver(cur_pyr: Pyramid, pred_pyr: Pyramid, twist_old: jnp.ndarray,
-               config: SFConfig, kb=None) -> SolverResult:
-    """Full per-frame solve: clustering + coarse-to-fine joint IRLS."""
+               config: SFConfig, kb=None,
+               T_init: jnp.ndarray | None = None) -> SolverResult:
+    """Full per-frame solve: clustering + coarse-to-fine joint IRLS.
+
+    `T_init` seeds the coarse-to-fine iteration (default identity — the
+    tracking case).  Wide-baseline relocalization pairs (keyframe
+    verification, pipeline/keyframes.py) pass the chain-predicted
+    relative pose: a multi-meter baseline is far outside the dense
+    solver's zero-init convergence basin, and in self-similar scenes the
+    wrong basin can even look depth-consistent (the corridor-aliasing
+    failure, ACCURACY.md round 4)."""
     clustering = cluster_frame(cur_pyr, config)
     reg_ata = reg_normal_matrix(clustering.connectivity,
                                 config.solver.lambda_reg)
     fovh = config.camera.fovh
     n_levels = config.ctf_levels
 
-    T_odo = jnp.eye(4)
+    T_odo = jnp.eye(4) if T_init is None else T_init
     b_segm = jnp.full((config.num_clusters,), 0.5)
     ddt_full = jnp.zeros(cur_pyr[0].depth.shape)
 
@@ -90,9 +99,10 @@ def run_solver(cur_pyr: Pyramid, pred_pyr: Pyramid, twist_old: jnp.ndarray,
 
         def iteration(carry, first: bool):
             k, T_odo, b_segm, done, ddt = carry
-            if first:
+            if first and T_init is None:
                 # First coarse iteration reuses the prediction directly as the
-                # "warped" view (FrontEnd.cpp:1103-1110).
+                # "warped" view (FrontEnd.cpp:1103-1110) — only valid when
+                # the iteration starts at identity.
                 warped = WarpedImages(depth=pred.depth, intensity=pred.intensity,
                                       xx=pred.xx, yy=pred.yy)
             else:
