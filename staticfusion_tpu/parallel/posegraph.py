@@ -140,6 +140,129 @@ def optimize(g: PoseGraph, iters: int = 10, damping: float = 1e-6) -> PoseGraph:
     return jax.lax.fori_loop(0, iters, gn_step, g)
 
 
+def _solve_block_tridiag(diag: jnp.ndarray, offd: jnp.ndarray,
+                         B: jnp.ndarray) -> jnp.ndarray:
+    """Solve the block-tridiagonal system T X = B by block-Thomas
+    elimination (lax.scan over the chain; every step is 6x6 MXU work).
+
+    diag: (M, 6, 6) diagonal blocks D_k (SPD after gauge+damping);
+    offd: (M, 6, 6) super-diagonal blocks U_k = T[k, k+1] (row M-1 unused);
+    B:    (M, 6, R) right-hand sides (R solved simultaneously — the
+          Woodbury correction columns ride along with b for free).
+    """
+    M = diag.shape[0]
+    Uprev = jnp.concatenate([jnp.zeros_like(offd[:1]), offd[:-1]], axis=0)
+
+    def fwd(carry, inp):
+        c_prev, y_prev = carry                    # (6,6), (6,R)
+        D, Up, Bk = inp                           # Up = U_{k-1}
+        L = jnp.swapaxes(Up, 0, 1) @ jnp.linalg.inv(c_prev)
+        c = D - L @ Up
+        y = Bk - L @ y_prev
+        return (c, y), (c, y)
+
+    init = (jnp.eye(6, dtype=diag.dtype), jnp.zeros_like(B[0]))
+    _, (cs, ys) = jax.lax.scan(fwd, init, (diag, Uprev, B))
+
+    def bwd(x_next, inp):
+        c, y, U = inp
+        x = jnp.linalg.solve(c, y - U @ x_next)
+        return x, x
+
+    xM = jnp.linalg.solve(cs[M - 1], ys[M - 1])
+    _, xs = jax.lax.scan(bwd, xM, (cs[:-1], ys[:-1], offd[:-1]),
+                         reverse=True)
+    return jnp.concatenate([xs, xM[None]], axis=0)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def optimize_chain(g: PoseGraph, iters: int = 10,
+                   damping: float = 1e-6) -> PoseGraph:
+    """Gauss-Newton exploiting the odometry-chain + sparse-loop structure
+    (SURVEY.md section 2.5's Schur/sparsity plan; replaces the dense
+    O((6M)^3) solve that capped the keyframe count — VERDICT round 4).
+
+    CONTRACT (matches `keyframes.close_loop`'s layout): constraint slots
+    [0, M-1) are the ordered chain k -> k+1 (slot k connects poses k and
+    k+1; zero-weight slots inactive); the remaining slots are arbitrary
+    (i, j) loop constraints.  The Hessian is then block-tridiagonal T
+    plus a rank-6L update V^T V from the L loop slots, and each GN step
+    solves exactly via block-Thomas + the Woodbury identity:
+
+        dx = -[T^-1 b  -  T^-1 V^T (I + V T^-1 V^T)^-1 V T^-1 b]
+
+    Cost per GN iteration: O(M) sequential 6x6 block ops (two scans) with
+    1+6L simultaneous right-hand sides, plus one (6L, 6L) dense solve —
+    vs the dense path's (6M)^3.  Numerically agrees with `optimize` to
+    solver tolerance (tests/test_posegraph.py property tests); M=1024 runs
+    in milliseconds on-chip where the dense solve is intractable."""
+    M = g.poses.shape[0]
+    L = g.ci.shape[0] - (M - 1)
+    assert L >= 0, "constraint capacity below the chain length"
+    li, lj = g.ci[M - 1:], g.cj[M - 1:]
+    eye6 = jnp.eye(6, dtype=g.poses.dtype)
+
+    def gn_step(_, g):
+        r, Ji, Jj = _residuals_and_jacobians(g)
+        w = g.cw[:, None, None]
+        JiT = jnp.swapaxes(Ji, -1, -2)
+        JjT = jnp.swapaxes(Jj, -1, -2)
+
+        # Chain part -> block tridiagonal T (+ gauge + damping) and b.
+        ks = jnp.arange(M - 1)
+        cHii = (w * (JiT @ Ji))[:M - 1]
+        cHjj = (w * (JjT @ Jj))[:M - 1]
+        cHij = (w * (JiT @ Jj))[:M - 1]
+        diag = jnp.zeros((M, 6, 6), g.poses.dtype)
+        diag = diag.at[ks].add(cHii).at[ks + 1].add(cHjj)
+        offd = jnp.concatenate([cHij, jnp.zeros((1, 6, 6), g.poses.dtype)])
+        gauge = jnp.zeros((M,)).at[0].set(1e6)
+        diag = diag + (gauge + damping + 1e-8)[:, None, None] * eye6
+
+        b = jnp.zeros((M, 6), g.poses.dtype)
+        cw2 = g.cw[:M - 1, None]
+        b = b.at[ks].add(cw2 * jnp.einsum("cab,cb->ca", JiT[:M - 1], r[:M - 1]))
+        b = b.at[ks + 1].add(cw2 * jnp.einsum("cab,cb->ca", JjT[:M - 1],
+                                              r[:M - 1]))
+
+        # Loop part: rows of V are sqrt(w) [.. Ji .. Jj ..]; b gets the
+        # full loop gradient; T gets none (it lives in V^T V).
+        if L > 0:
+            sw = jnp.sqrt(jnp.maximum(g.cw[M - 1:], 0.0))
+            Vi = sw[:, None, None] * Ji[M - 1:]           # (L, 6, 6)
+            Vj = sw[:, None, None] * Jj[M - 1:]
+            rl = sw[:, None] * r[M - 1:]                  # (L, 6)
+            b = b.at[li].add(jnp.einsum(
+                "lab,lb->la", jnp.swapaxes(Vi, -1, -2), rl))
+            b = b.at[lj].add(jnp.einsum(
+                "lab,lb->la", jnp.swapaxes(Vj, -1, -2), rl))
+            # Dense V^T laid out as (M, 6, 6L) so its columns ride the
+            # tridiagonal solve next to b.
+            Vt = jnp.zeros((M, 6, L, 6), g.poses.dtype)
+            Vt = Vt.at[li, :, jnp.arange(L), :].add(
+                jnp.swapaxes(Vi, -1, -2))
+            Vt = Vt.at[lj, :, jnp.arange(L), :].add(
+                jnp.swapaxes(Vj, -1, -2))
+            Vt = Vt.reshape(M, 6, 6 * L)
+            B = jnp.concatenate([b[:, :, None], Vt], axis=-1)
+            X = _solve_block_tridiag(diag, offd, B)
+            Tb, TVt = X[:, :, 0], X[:, :, 1:]             # (M,6), (M,6,6L)
+            # S = I + V T^-1 V^T;  V y = [Vi y_li + Vj y_lj]_l flattened.
+            def applyV(Y):                                # (M, 6, R)->(6L, R)
+                return (jnp.einsum("lab,lbr->lar", Vi, Y[li])
+                        + jnp.einsum("lab,lbr->lar", Vj, Y[lj])
+                        ).reshape(6 * L, -1)
+
+            S = jnp.eye(6 * L, dtype=g.poses.dtype) + applyV(TVt)
+            u = applyV(Tb[:, :, None])[:, 0]
+            dx = -(Tb - TVt @ jnp.linalg.solve(S, u))
+        else:
+            dx = -_solve_block_tridiag(diag, offd, b[:, :, None])[:, :, 0]
+        return g._replace(poses=g.poses @ se3.se3_exp(dx))
+
+    return jax.lax.fori_loop(0, iters, gn_step, g)
+
+
 def optimize_sharded(g: PoseGraph, mesh, axis: str = "pg",
                      iters: int = 10, damping: float = 1e-6) -> PoseGraph:
     """Distributed Gauss-Newton: constraints sharded over `mesh[axis]`,

@@ -95,8 +95,10 @@ def fingerprint(intensity: jnp.ndarray, depth: jnp.ndarray,
 @jax.jit
 def add_keyframe(db: KeyframeDB, intensity: jnp.ndarray, depth: jnp.ndarray,
                  pose: jnp.ndarray, frame_idx) -> KeyframeDB:
-    """Append at `count` (capacity-full DBs keep their oldest — loop closure
-    wants long memory, so the host should size capacity for the run)."""
+    """Append at `count`.  The host must keep a free slot available by
+    halving the DB when it approaches capacity (`halve_db` + doubled
+    keyframe stride — SlamSystem does this), so the clamp below is a
+    never-taken safety, not an eviction policy."""
     k = jnp.minimum(db.count, db.emb.shape[0] - 1)
     return KeyframeDB(
         emb=db.emb.at[k].set(fingerprint(intensity, depth)),
@@ -105,6 +107,35 @@ def add_keyframe(db: KeyframeDB, intensity: jnp.ndarray, depth: jnp.ndarray,
         depth=db.depth.at[k].set(depth),
         frame_idx=db.frame_idx.at[k].set(jnp.asarray(frame_idx, jnp.int32)),
         count=jnp.minimum(db.count + 1, db.emb.shape[0]),
+    )
+
+
+@jax.jit
+def halve_db(db: KeyframeDB) -> KeyframeDB:
+    """Drop every other keyframe (keep even slots), halving density.
+
+    Called by the host when the DB nears capacity; the caller doubles its
+    keyframe stride at the same time, so a fixed-capacity DB spans ANY run
+    length at geometrically coarsening temporal resolution — real fr3
+    sequences are 800-1700 frames (reference README.md:62-95) and the
+    reference's own pose log is unbounded (Reconstruction.cpp:315).
+    Keeping the even slots retains keyframe 0 (the gauge anchor and the
+    cleanest, earliest-drift pose) and every second keyframe after it;
+    the next tick re-adds a fresh keyframe, so recency recovers within one
+    (doubled) stride."""
+    K = db.emb.shape[0]
+    h = (K + 1) // 2
+
+    def take(a):
+        return a.at[:h].set(a[0::2])
+
+    return KeyframeDB(
+        emb=take(db.emb),
+        poses=take(db.poses),
+        intensity=take(db.intensity),
+        depth=take(db.depth),
+        frame_idx=take(db.frame_idx).at[h:].set(-1),
+        count=(db.count + 1) // 2,
     )
 
 
@@ -246,7 +277,12 @@ def close_loop(kf_poses: jnp.ndarray, n_kf, loop_i, loop_j,
     kf_poses: (K, 4, 4) world poses (rows >= n_kf are ignored); the chain
     k -> k+1 contributes odometry constraints from the composed trajectory,
     plus the measured loop constraint i_T_j.  Returns (K, 4, 4) optimized
-    poses (gauge-fixed at pose 0, so the map origin is preserved)."""
+    poses (gauge-fixed at pose 0, so the map origin is preserved).
+
+    The constraint layout (slots [0, K-1) = ordered chain, remainder =
+    loops) is exactly `posegraph.optimize_chain`'s contract, so the solve
+    is the O(K) block-tridiagonal + Woodbury path rather than the dense
+    O((6K)^3) one — 1k-keyframe graphs stay interactive."""
     K = kf_poses.shape[0]
     g = posegraph.empty_graph(K, K + 1)
     g = g._replace(poses=kf_poses, n_poses=jnp.asarray(n_kf, jnp.int32))
@@ -262,4 +298,4 @@ def close_loop(kf_poses: jnp.ndarray, n_kf, loop_i, loop_j,
         n_constraints=jnp.asarray(K - 1, jnp.int32),
     )
     g = posegraph.add_constraint(g, loop_i, loop_j, T_ij, loop_weight)
-    return posegraph.optimize(g, iters=iters).poses
+    return posegraph.optimize_chain(g, iters=iters).poses

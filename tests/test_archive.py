@@ -58,6 +58,33 @@ def test_archive_is_exact_and_lossless():
     assert ((tick - lt[valid]) > CONFIG.fusion.time_delta).all()
 
 
+def test_capacity_wall_is_defined_and_logged(capsys):
+    """Fill a deliberately tiny map: the system must keep tracking (no
+    crash, finite poses), never exceed capacity, and surface the wall as
+    a recorded+printed event instead of silently dropping inserts
+    (VERDICT round 4 #9; the reference silently stops appending past
+    MAX_VERTICES, GlobalModel.cpp:21-24)."""
+    cfg = SFConfig(camera=CameraConfig(width=160, height=120),
+                   fusion=FusionConfig(capacity=4096, time_delta=200))
+    frames, gt = synthetic.make_sequence(cfg, 12, TWIST)
+    slam = SlamSystem(cfg, resize_check_interval=2)
+    for i, (rgb, depth_mm, _) in enumerate(frames):
+        slam.process(rgb, depth_mm, i / 30.0)
+    slam._materialize_poses()
+
+    assert slam.capacity_events, "capacity wall never reported"
+    assert slam.capacity_events[0]["capacity"] == 4096
+    assert "capacity" in capsys.readouterr().out
+    smap = slam.state.smap
+    assert int(smap.used) <= smap.capacity
+    assert int(smap.count()) <= smap.capacity
+    # Tracking survives a full map: poses stay finite and sane.
+    for p in slam.poses:
+        assert np.isfinite(p).all()
+    ate = slam.ate(np.arange(12) / 30.0, gt)
+    assert ate < 0.05, f"tracking degraded catastrophically at the wall: {ate}"
+
+
 def test_archive_checkpoint_roundtrip(tmp_path):
     from staticfusion_tpu.utils.checkpoint import (load_archive, load_state,
                                                    save_state)

@@ -83,6 +83,96 @@ def test_inactive_padding_untouched(rng):
                                atol=1e-5)
 
 
+def _chain_graph_with_loops(rng, n, n_loops=2, cap_extra=2):
+    """Drifted chain in optimize_chain's layout: slots [0, M-1) = ordered
+    chain, remaining slots = loop constraints."""
+    gt, odom = _make_chain(rng, n)
+    drift = np.asarray(se3.se3_exp(jnp.asarray(
+        np.array([0.008, -0.006, 0.01, 0.003, -0.002, 0.004], np.float32))))
+    odom_bad = [T @ drift for T in odom]
+    init = [gt[0]]
+    for T in odom_bad:
+        init.append(init[-1] @ T)
+    g = pg.chain_odometry_graph(init, odom_bad,
+                                max_constraints=(n - 1) + cap_extra)
+    loops = []
+    for l in range(n_loops):
+        i = int(rng.integers(0, n // 2))
+        j = int(rng.integers(n // 2, n))
+        T_ij = np.linalg.inv(gt[i]) @ gt[j]
+        g = pg.add_constraint(g, i, j, jnp.asarray(T_ij), 8.0)
+        loops.append((i, j))
+    return g, gt, np.stack(init)
+
+
+def test_chain_solver_matches_dense_oracle(rng):
+    """Property test (VERDICT round 4 #7): the block-tridiagonal + Woodbury
+    solver must agree with the dense solve across sizes and loop counts —
+    same math, different factorization."""
+    for n, n_loops in [(4, 1), (8, 2), (16, 2), (33, 2), (64, 2)]:
+        g, gt, _ = _chain_graph_with_loops(rng, n, n_loops)
+        dense = pg.optimize(g, iters=10)
+        chain = pg.optimize_chain(g, iters=10)
+        np.testing.assert_allclose(np.asarray(chain.poses[:n]),
+                                   np.asarray(dense.poses[:n]),
+                                   atol=2e-4, err_msg=f"n={n}")
+
+
+def test_chain_solver_closes_loops(rng):
+    """End-to-end: drifted odometry + exact loop constraints; the chain
+    solver must recover the trajectory (not just match the oracle)."""
+    g, gt, init = _chain_graph_with_loops(rng, 24, n_loops=2)
+    err_before = np.linalg.norm(init[-1][:3, 3] - gt[-1][:3, 3])
+    g2 = pg.optimize_chain(g, iters=20)
+    err_after = np.linalg.norm(
+        np.asarray(g2.poses[23][:3, 3]) - gt[23][:3, 3])
+    assert err_after < 0.35 * err_before, (err_before, err_after)
+    # Gauge fixed at pose 0.
+    np.testing.assert_allclose(np.asarray(g2.poses[0]), np.eye(4),
+                               atol=1e-6)
+
+
+def test_chain_solver_scales_to_1024():
+    """The headline scaling case: M=1024 keyframes (a 6144-dim state whose
+    dense normal matrix would be 6144^2 and its solve O(2.3e11) flops)
+    optimizes through the O(M) tridiagonal path and removes the drift.
+    Runtime on the 8-dev CPU mesh is seconds; on-chip it is milliseconds
+    (PERF.md)."""
+    rng = np.random.default_rng(1)
+    n = 1024
+    # Build the drifted chain directly as arrays (chain_odometry_graph's
+    # per-pose python loop is O(n) dispatches — too slow at 1024).
+    xi = 0.02 * rng.normal(size=(n - 1, 6)).astype(np.float32)
+    odom_T = np.asarray(se3.se3_exp(jnp.asarray(xi)))           # exact
+    drift = np.asarray(se3.se3_exp(jnp.asarray(
+        np.array([0.004, 0.0, -0.003, 0.001, 0.0015, 0.0], np.float32))))
+    odom_bad = odom_T @ drift
+    gt = [np.eye(4, dtype=np.float32)]
+    init = [np.eye(4, dtype=np.float32)]
+    for k in range(n - 1):
+        gt.append((gt[-1] @ odom_T[k]).astype(np.float32))
+        init.append((init[-1] @ odom_bad[k]).astype(np.float32))
+    gt, init = np.stack(gt), np.stack(init)
+
+    ks = np.arange(n - 1, dtype=np.int32)
+    g = pg.PoseGraph(
+        poses=jnp.asarray(init), n_poses=jnp.asarray(n, jnp.int32),
+        ci=jnp.concatenate([jnp.asarray(ks), jnp.asarray([0], jnp.int32)]),
+        cj=jnp.concatenate([jnp.asarray(ks + 1),
+                            jnp.asarray([n - 1], jnp.int32)]),
+        cT=jnp.concatenate([jnp.asarray(odom_bad), jnp.asarray(
+            (np.linalg.inv(gt[0]) @ gt[-1])[None])]),
+        cw=jnp.concatenate([jnp.ones((n - 1,)), jnp.asarray([8.0])]),
+        n_constraints=jnp.asarray(n, jnp.int32))
+
+    err_before = np.linalg.norm(init[-1][:3, 3] - gt[-1][:3, 3])
+    g2 = pg.optimize_chain(g, iters=10)
+    err_after = np.linalg.norm(
+        np.asarray(g2.poses[n - 1][:3, 3]) - gt[-1][:3, 3])
+    assert err_before > 1.0          # the drift is macroscopic...
+    assert err_after < 0.1 * err_before, (err_before, err_after)
+
+
 def test_sharded_optimize_matches_dense(rng):
     """optimize_sharded over an 8-device CPU mesh == single-device optimize
     (up to fp addition order)."""
