@@ -121,11 +121,13 @@ def main():
         "vs_baseline": round(fps / 30.0, 3),
     }
     if os.environ.get("SF_BENCH_ROOFLINE", "1") == "1":
-        # Three-leg machine-ceiling accounting (utils/perf.py): XLA's own
-        # flops/bytes of the jitted step + HLO-parsed indexed-element
-        # counts against peaks measured on this chip.  MFU is reported for
-        # honesty — a dense-SLAM frame is tens of MFLOPs, so the indexed
-        # leg is the binding ceiling, captured by roofline_frac.
+        # Three-leg machine-ceiling accounting (utils/perf.py): XLA flops
+        # + essential bytes (inputs+outputs once — a true lower bound; XLA
+        # bytes-accessed overcounts fusion-elided intermediates and is
+        # reported as a diagnostic only) + HLO-parsed indexed-element
+        # counts, against peaks measured on this chip.  MFU is reported
+        # for honesty — a dense-SLAM frame is tens of MFLOPs, so the
+        # indexed leg is the binding ceiling, captured by roofline_frac.
         from staticfusion_tpu.utils import perf
 
         step1 = lambda st, fr: slam_step(st, fr, config)

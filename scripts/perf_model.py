@@ -113,7 +113,8 @@ def step_roofline(factor: int, n_frames: int, peaks):
           f"{rep['roofline_ms']:.2f} ms -> frac {rep['roofline_frac']:.2f} | "
           f"mfu {rep['mfu']:.4f}", flush=True)
     print(f"        model: {rep['flops']/1e6:.0f} MFLOP, "
-          f"{rep['bytes_accessed']/1e6:.0f} MB accessed, "
+          f"{rep['essential_bytes']/1e6:.0f} MB essential "
+          f"({rep['xla_bytes_accessed']/1e6:.0f} MB XLA-accessed), "
           f"{rep['scatter_rows']/1e3:.0f}k scatter rows + "
           f"{rep['gather_rows']/1e3:.0f}k gather rows in "
           f"{rep['indexed_ops']:.0f} indexed ops", flush=True)

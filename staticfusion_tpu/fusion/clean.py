@@ -253,6 +253,12 @@ def writeback_and_insert(smap: SurfelMap,
     rows4, cols4 = cam.height * F, cam.width * F
     tickf = jnp.asarray(tick, jnp.float32)
     cap = smap.capacity
+    # The winner id rides as a value-cast f32 column and is compared
+    # against arange floats: exact only below 2^24.  (A bitcast like the
+    # texelmap/sparse paths use would NOT be safe here — small int32 ids
+    # bitcast to denormals, which TPU flushes to zero, collapsing the
+    # equality test.)  The reference's own map is 9.4M < 2^24 slots.
+    assert cap < (1 << 24), f"capacity {cap} overflows the f32 id column"
 
     # ---- elementwise lifecycle on the old slot arrays ----
     too_old_unstable = ((tickf - smap.last_time) > fus.clean_unstable_age) & \

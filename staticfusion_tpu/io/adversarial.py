@@ -32,6 +32,12 @@ import numpy as np
 
 from staticfusion_tpu.io.synthetic import Plane, _texture
 
+# Scene-generator version: bump on ANY change to trajectories, walkers,
+# textures, or the renderer so cached sequences are invalidated (the cache
+# key otherwise encodes only the request parameters, not the generator
+# code — advisor finding, round 4).
+_GENERATION = 5
+
 # ---------------------------------------------------------------------------
 # World
 
@@ -76,33 +82,37 @@ def static_clutter() -> List[SphereT]:
 
 
 def make_walker(x0: float = 0.0, z: float = 1.35, speed: float = 0.045,
-                span: float = 0.65) -> List[SphereT]:
+                span: float = 0.65, scale: float = 1.0,
+                limb_rate: float = 0.9) -> List[SphereT]:
     """Articulated walker: head/torso/arms/legs as spheres sharing a
     back-and-forth base motion with phase-offset limb swing.  At z≈1.35 m
     the body covers ~30-45%% of a QVGA frame (measured; the fr3_walking
-    regime)."""
+    regime).  `scale` resizes the whole body and `limb_rate`/`speed` retime
+    it — the walk_var profile uses these to test that tuned defaults are
+    not artifacts of one body/gait configuration (VERDICT round 4)."""
     def base(t):
         # Triangle-ish walk: sweeps left-right across the view.
         return x0 + span * math.sin(speed * t)
 
     def part(dy, r, swing=0.0, phase=0.0, dz=0.0):
         def fn(t):
-            limb = swing * math.sin(0.9 * t + phase)
-            return np.array([base(t) + limb, dy, z + dz
+            limb = scale * swing * math.sin(limb_rate * t + phase)
+            return np.array([base(t) + limb, scale * dy, z + scale * dz
                              + 0.12 * math.sin(0.31 * t)])
         return fn
 
+    s = scale
     skin = np.array([0.75, 0.58, 0.48])
     shirt = np.array([0.25, 0.35, 0.65])
     pants = np.array([0.30, 0.28, 0.26])
     return [
-        SphereT(part(-0.70, 0.18), 0.18, True, skin),            # head
-        SphereT(part(-0.28, 0.34), 0.34, True, shirt),           # chest
-        SphereT(part(0.14, 0.32), 0.32, True, shirt),            # hips
-        SphereT(part(-0.28, 0.15, 0.24, 0.0, -0.06), 0.15, True, skin),   # arm L
-        SphereT(part(-0.28, 0.15, 0.24, math.pi, -0.06), 0.15, True, skin),  # arm R
-        SphereT(part(0.62, 0.17, 0.20, math.pi / 2), 0.17, True, pants),  # leg L
-        SphereT(part(0.62, 0.17, 0.20, -math.pi / 2), 0.17, True, pants),  # leg R
+        SphereT(part(-0.70, 0.18), s * 0.18, True, skin),            # head
+        SphereT(part(-0.28, 0.34), s * 0.34, True, shirt),           # chest
+        SphereT(part(0.14, 0.32), s * 0.32, True, shirt),            # hips
+        SphereT(part(-0.28, 0.15, 0.24, 0.0, -0.06), s * 0.15, True, skin),   # arm L
+        SphereT(part(-0.28, 0.15, 0.24, math.pi, -0.06), s * 0.15, True, skin),  # arm R
+        SphereT(part(0.62, 0.17, 0.20, math.pi / 2), s * 0.17, True, pants),  # leg L
+        SphereT(part(0.62, 0.17, 0.20, -math.pi / 2), s * 0.17, True, pants),  # leg R
     ]
 
 
@@ -484,9 +494,9 @@ def make_adversarial_sequence(config, n_frames: int,
 
     if cache_dir is not None:
         sm = SensorModel() if sensor is None else sensor
-        key = "adv_{}_{}f_s{}_{}x{}_{:x}".format(
+        key = "adv_{}_{}f_s{}_{}x{}_g{}_{:x}".format(
             profile, n_frames, seed, config.camera.width,
-            config.camera.height,
+            config.camera.height, _GENERATION,
             abs(hash(tuple(dataclasses.astuple(sm)))) % (1 << 40))
         path = os.path.join(cache_dir, key + ".npz")
         if os.path.exists(path):
@@ -497,7 +507,7 @@ def make_adversarial_sequence(config, n_frames: int,
         frames, gt = make_adversarial_sequence(config, n_frames, profile,
                                                sensor, seed, cache_dir=None)
         os.makedirs(cache_dir, exist_ok=True)
-        tmp = path + ".tmp.npz"
+        tmp = "{}.tmp{}.npz".format(path, os.getpid())
         np.savez_compressed(tmp,
                             rgb=np.stack([f[0] for f in frames]),
                             depth=np.stack([f[1] for f in frames]),
@@ -511,6 +521,17 @@ def make_adversarial_sequence(config, n_frames: int,
     if profile == "walk_xyz":
         twists = trajectory_walk_xyz(n_frames)
         spheres = static_clutter() + make_walker()
+    elif profile == "walk_var":
+        # World variation of walk_xyz: a LARGER walker (scale 1.25),
+        # closer to the camera, sweeping faster with a slower limb cycle —
+        # different blob sizes, coverage (~45-60%), and residual dynamics
+        # than the profile the lambda_reg sweep was tuned on.  Exists to
+        # falsify (or bound) generator-specific tuning (VERDICT round 4
+        # weak #3: "every point comes from one walker configuration").
+        twists = trajectory_walk_xyz(n_frames)
+        spheres = static_clutter() + make_walker(
+            x0=0.15, z=1.15, speed=0.075, span=0.8, scale=1.25,
+            limb_rate=0.6)
     elif profile == "walk_loop":
         # Drift-heavy out-and-back revisit with a walker crossing the
         # scene mid-sequence: the loop-closure regime (clean early
