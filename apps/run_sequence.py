@@ -58,14 +58,30 @@ def main(argv=None):
                          "these panels in its Pangolin GUI, Utils/GUI.h:87-99)")
     ap.add_argument("--live-every", type=int, default=5,
                     help="refresh the --live view every N frames")
+    ap.add_argument("--solver-preset", default="default",
+                    choices=["default", "datasets", "ctor"],
+                    help="solver parameter set: 'default' = repo defaults "
+                         "(lambda_reg tuned on the adversarial suite); "
+                         "'datasets' = the reference datasets main "
+                         "(StaticFusion-datasets.cpp:79-94, lambda_reg "
+                         "0.35 as tuned on real TUM data — use this for "
+                         "real sequences unless the repo default proves "
+                         "out); 'ctor' = the reference ctor defaults "
+                         "(FrontEnd.cpp:65-76)")
+    ap.add_argument("--lambda-reg", type=float, default=None,
+                    help="override the solver's cluster-coupling "
+                         "regularizer (reference: 0.35)")
     args = ap.parse_args(argv)
 
     import contextlib
+    import dataclasses
 
     import jax
 
     from staticfusion_tpu.config import (CameraConfig, FusionConfig,
-                                         LoopClosureConfig, SFConfig)
+                                         LoopClosureConfig, SFConfig,
+                                         solver_preset_ctor,
+                                         solver_preset_datasets)
     from staticfusion_tpu.io import tum
     from staticfusion_tpu.io.ply import save_ply
     from staticfusion_tpu.pipeline.system import SlamSystem
@@ -89,10 +105,17 @@ def main(argv=None):
         fkw["index_factor"] = args.index_factor
     if args.post_factor is not None:
         fkw["post_factor"] = args.post_factor
+    solver = {"default": None, "datasets": solver_preset_datasets,
+              "ctor": solver_preset_ctor}[args.solver_preset]
+    skw = {} if solver is None else {"solver": solver()}
     config = SFConfig(camera=CameraConfig(width=640 // args.res_factor,
                                           height=480 // args.res_factor),
                       fusion=FusionConfig(**fkw),
-                      loop=LoopClosureConfig(enabled=args.loop_closure))
+                      loop=LoopClosureConfig(enabled=args.loop_closure),
+                      **skw)
+    if args.lambda_reg is not None:
+        config = config.replace(solver=dataclasses.replace(
+            config.solver, lambda_reg=args.lambda_reg))
     slam = SlamSystem(config, initial_pose=seq.initial_gt_pose())
     if is_rawlog:
         # Exported poses land in the raw TUM GT frame (Datasets.cpp:257).
@@ -152,20 +175,50 @@ def _run_frames(args, seq, slam, logger):
     if getattr(args, "live", None) is not None:
         from staticfusion_tpu.viz.live import LiveViewer
 
-        viewer = LiveViewer(args.live)
+        viewer = LiveViewer(args.live,
+                            conf=slam.config.fusion.confidence_threshold,
+                            depth=slam.config.fusion.depth_max)
         print(f"live view: http://127.0.0.1:{viewer.port}/")
     for i, (rgb, depth_mm, ts) in enumerate(seq):
         if args.max_frames and i >= args.max_frames:
             break
+        if viewer is not None:
+            import time as _time
+
+            # Pause control read back into the loop (the reference polls
+            # its GUI pause checkbox every frame, FrontEnd.cpp:1285).
+            while viewer.params()["pause"]:
+                _time.sleep(0.1)
         out = slam.process(rgb, depth_mm, ts)
         if out is not None:
             fps = 1.0 / max(slam.frame_seconds[-1], 1e-9)
             logger.log(frame=i, surfels=int(out.surfel_count),
                        dense=bool(out.dense), fps=fps)
             if viewer is not None and i % max(args.live_every, 1) == 0:
-                viewer.update(rgb, depth_mm, out, frame=i,
+                # Model + ModelImg panels (Utils/GUI.h:87-99), rendered
+                # with the browser's live confidence/depth settings — the
+                # threshold is a traced argument of the splat render, so
+                # slider moves do not recompile.
+                import numpy as np
+
+                from staticfusion_tpu.viz.render import colorize, render_view
+
+                import jax.numpy as jnp
+
+                p = viewer.params()
+                view = render_view(slam.state.smap, out.curr_pose,
+                                   jnp.asarray(p["conf"], jnp.float32),
+                                   slam.config)
+                cut = np.asarray(view.depth) <= p["depth"]
+                model = colorize(view, "phong", slam.config)
+                model_img = colorize(view, "rgb", slam.config)
+                model[~cut] = 0
+                model_img[~cut] = 0
+                viewer.update(rgb, depth_mm, out,
+                              model=model, model_img=model_img, frame=i,
                               surfels=int(out.surfel_count),
                               fps=round(fps, 2),
+                              conf=p["conf"], depth_cutoff=p["depth"],
                               loop_closures=len(slam.loop_closures))
             if args.viz:
                 from staticfusion_tpu.viz.offline import save_frame_panels

@@ -214,3 +214,45 @@ def test_live_viewer_serves_panels_and_metrics():
         assert met == {"frame": 7, "fps": 42.0}
     finally:
         v.close()
+
+
+def test_live_viewer_interactive_controls():
+    """Runtime controls (the reference's sliders, FrontEnd.cpp:1285-1286):
+    /set updates confidence/depth/pause, params() reads them back into the
+    run loop, /params.json serves them; the 6-panel mosaic carries the
+    model + predicted renders."""
+    import json
+    import urllib.request
+
+    from staticfusion_tpu.viz.live import LiveViewer, compose_panels
+
+    rng = np.random.default_rng(1)
+    h, w = 24, 32
+    rgb = rng.random((h, w, 3)).astype(np.float32)
+    depth_mm = (rng.random((h, w)) * 3000).astype(np.float32)
+    model = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    mosaic = compose_panels(rgb, depth_mm, None, None,
+                            model=model, model_img=model)
+    assert mosaic.shape == (2 * h, 3 * w, 3)
+
+    v = LiveViewer(port=0, conf=0.25, depth=4.5)
+    try:
+        base = f"http://127.0.0.1:{v.port}"
+        p0 = json.loads(urllib.request.urlopen(
+            base + "/params.json", timeout=5).read())
+        assert p0 == {"conf": 0.25, "depth": 4.5, "pause": False}
+        p1 = json.loads(urllib.request.urlopen(
+            base + "/set?conf=0.6&depth=3.0&pause=1", timeout=5).read())
+        assert p1 == {"conf": 0.6, "depth": 3.0, "pause": True}
+        assert v.params() == p1
+        # Out-of-range values clamp; pause toggles back off.
+        json.loads(urllib.request.urlopen(
+            base + "/set?conf=7&pause=0", timeout=5).read())
+        assert v.params()["conf"] == 1.0
+        assert v.params()["pause"] is False
+        # The page ships the control elements.
+        page = urllib.request.urlopen(base + "/", timeout=5).read()
+        for needle in (b'id="conf"', b'id="depth"', b'id="pause"'):
+            assert needle in page
+    finally:
+        v.close()
