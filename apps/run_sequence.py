@@ -38,9 +38,17 @@ def main(argv=None):
     ap.add_argument("--profile", default=None,
                     help="directory for a jax.profiler trace of the run")
     ap.add_argument("--loop-closure", action=argparse.BooleanOptionalAction,
-                    default=True,
-                    help="keyframe loop detection + pose-graph correction "
-                         "(verification-gated; --no-loop-closure disables)")
+                    default=False,
+                    help="keyframe loop detection + pose-graph correction. "
+                         "OPT-IN with a measured operating envelope "
+                         "(ACCURACY.md round 5): on drift-heavy "
+                         "exploration (fast corridor sweeps) verified "
+                         "closures cut ATE 7-12%%; on low-drift "
+                         "trajectories the verification solve's ~0.1 m "
+                         "softness in self-similar geometry can inject "
+                         "more error than the chain carries — leave off "
+                         "unless the trajectory revisits after long "
+                         "excursions")
     ap.add_argument("--conf-threshold", type=float, default=None,
                     help="surfel confidence cut for --ply (default: config "
                          "value; the reference exposes this as a GUI slider)")

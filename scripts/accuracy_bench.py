@@ -22,18 +22,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def run_one(profile: str, factor: int, n_frames: int, res_factor: int = 2,
             seed: int = 0, post_factor=None, loop: bool = False,
-            smooth_skip: int | None = None):
+            smooth_skip: int | None = None, lambda_reg: float | None = None,
+            route_factor: int | None = None,
+            fixed_tiers: bool | None = None, capacity: int | None = None):
     import numpy as np
 
     from staticfusion_tpu.config import (CameraConfig, FusionConfig,
-                                         LoopClosureConfig, SFConfig)
+                                         LoopClosureConfig, SFConfig,
+                                         SolverConfig)
     from staticfusion_tpu.io import adversarial as adv
     from staticfusion_tpu.io.trajectory import rpe_rmse
     from staticfusion_tpu.pipeline.system import SlamSystem
 
-    fkw = dict(capacity=1 << 18, index_factor=factor)
+    # VGA full-resolution mapping needs the bigger tier (a VGA bootstrap
+    # alone is ~307k surfels; 2^18 would hit the capacity wall instantly).
+    if capacity is None:
+        capacity = 1 << (18 if res_factor >= 2 else 20)
+    fkw = dict(capacity=capacity, index_factor=factor)
     if post_factor is not None:   # else the config default
         fkw["post_factor"] = post_factor
+    if route_factor is not None:  # VGA routed-fusion A/B (VERDICT r4 #4)
+        fkw["route_factor"] = route_factor
+    skw = {} if lambda_reg is None else {"lambda_reg": lambda_reg}
     lkw = dict(enabled=loop)
     if smooth_skip is not None:
         lkw["smooth_skip"] = smooth_skip
@@ -41,6 +51,7 @@ def run_one(profile: str, factor: int, n_frames: int, res_factor: int = 2,
         lkw["deform_map"] = False
     config = SFConfig(camera=CameraConfig(width=640 // res_factor,
                                           height=480 // res_factor),
+                      solver=SolverConfig(**skw),
                       fusion=FusionConfig(**fkw),
                       loop=LoopClosureConfig(**lkw))
     frames, gt = adv.make_adversarial_sequence(
@@ -48,6 +59,19 @@ def run_one(profile: str, factor: int, n_frames: int, res_factor: int = 2,
         cache_dir=os.environ.get("SF_ADV_CACHE", "/tmp/sf_adv_cache"))
 
     slam = SlamSystem(config)
+    # Tunnel-backend guards (see SlamSystem attrs): fixed tiers bound the
+    # compiled-program count (each fresh axon compile costs minutes and
+    # leaks host RSS — the persistent compile cache does not serialize on
+    # this backend), and periodic clear_caches bounds what retained
+    # executables do accumulate.  CPU runs keep adaptive tiering.
+    import jax
+
+    if fixed_tiers is None:
+        fixed_tiers = jax.default_backend() != "cpu"
+    slam.fixed_tiers = fixed_tiers
+    # clear_caches stays OFF here: with the program set bounded,
+    # retained-executable memory is bounded too, and clearing would
+    # force minutes-long recompiles (no working disk cache on axon).
     # Chunked device-resident processing (SlamSystem.process_batch): one
     # host round-trip per 8 frames instead of per frame — this is what
     # makes 100+-frame accuracy runs tractable through the axon tunnel.
@@ -74,13 +98,20 @@ def run_one(profile: str, factor: int, n_frames: int, res_factor: int = 2,
     return {
         "profile": profile, "index_factor": factor, "frames": n_frames,
         "post_factor": config.fusion.post_factor,
+        "route_factor": config.fusion.route_factor,
+        "lambda_reg": config.solver.lambda_reg,
+        "seed": seed, "res_factor": res_factor,
         "loop": loop, "smooth_skip": config.loop.smooth_skip if loop else 0,
         "closures": len(slam.loop_closures),
         "closure_events": slam.loop_closures,
         "smoothings": len(slam.chain_smoothings),
+        "db_halvings": slam.db_halvings,
         "ate_rmse_m": round(ate, 5), "rpe_rmse_m": round(rpe, 5),
         "seg_iou": round(float(np.mean(ious)), 4) if ious else None,
         "fps": round(fps, 2),
+        "capacity": config.fusion.capacity,
+        "capacity_events": slam.capacity_events,
+        "fixed_tiers": slam.fixed_tiers,
     }
 
 
@@ -95,6 +126,10 @@ def main():
     ap.add_argument("--smooth-skip", type=int, default=None,
                     help="override LoopClosureConfig.smooth_skip (0 = off)")
     ap.add_argument("--res-factor", type=int, default=2)
+    ap.add_argument("--lambda-reg", type=float, default=None,
+                    help="override SolverConfig.lambda_reg (sweeps)")
+    ap.add_argument("--route-factor", type=int, default=None,
+                    help="override FusionConfig.route_factor (VGA A/B)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--json", default=None)
@@ -111,7 +146,9 @@ def main():
         for profile in args.profiles.split(","):
             r = run_one(profile, factor, args.frames, args.res_factor,
                         args.seed, args.post_factor, loop=args.loop,
-                        smooth_skip=args.smooth_skip)
+                        smooth_skip=args.smooth_skip,
+                        lambda_reg=args.lambda_reg,
+                        route_factor=args.route_factor)
             rows.append(r)
             print(json.dumps(r), flush=True)
 

@@ -168,11 +168,42 @@ class LoopClosureConfig:
                                 # genuine revisits 0.13-0.26 trimmed,
                                 # wrong-place pairs >= 0.39; clean-scene
                                 # revisits remain ~1e-3.
-    max_residual: float = 0.04  # depth-residual verification gate (m):
-                                # genuine matches ~5e-4, aliased
-                                # same-texture/different-geometry pairs
-                                # ~0.14 — the gate that actually prevents
-                                # false closures (test_keyframes.py).
+    max_residual: float = 0.03  # joint depth+photometric verification
+                                # gate (m).  Walk/room scenes: genuine
+                                # matches ~5e-4, aliased same-texture/
+                                # different-geometry pairs ~0.14.
+                                # CORRIDOR calibration (round-5 chip run,
+                                # 300-frame corridor_loop, 18 candidate
+                                # closures): z-aliased pairs 1-5 m apart
+                                # score 0.024-0.039 — side-wall depth is
+                                # z-shift-invariant in a corridor, so
+                                # only the texture term discriminates —
+                                # while genuine return-leg revisits score
+                                # 0.013-0.028.  The populations OVERLAP,
+                                # so the residual alone cannot separate
+                                # them (at the old 0.04 every false
+                                # passed and corridor ATE got worse, 2.13
+                                # vs 1.89 closure-off); the
+                                # max_drift_rate budget below is the
+                                # discriminating gate, and 0.03 admits
+                                # the full genuine band..
+    max_drift_rate: float = 0.02  # m/frame drift budget for closure
+                                # acceptance: a closure implying a
+                                # correction larger than
+                                # max_drift_rate * (frames since the
+                                # matched keyframe) + 0.05 is rejected as
+                                # physically implausible.  Calibration
+                                # (round-5 corridor chip runs): z-aliased
+                                # false closures demand 1.5-2.1 m
+                                # corrections 30-40 frames after their
+                                # keyframe (budget 0.65-0.85 m) while
+                                # genuine corridor revisits 240 frames
+                                # out demand ~2 m against a 4.9 m budget
+                                # and walk-suite closures demand
+                                # 0.01-0.07 m against >=0.95 m; measured
+                                # drift rates are ~0.002 (walk) and
+                                # ~0.007 (corridor) m/frame, so the 0.02
+                                # budget carries 3-10x margin.
     loop_weight: float = 4.0  # loop vs odometry constraint weight
     gn_iters: int = 10        # pose-graph Gauss-Newton iterations
     smooth_skip: int = 0      # periodic chain smoothing: on keyframe ticks

@@ -501,8 +501,14 @@ def make_adversarial_sequence(config, n_frames: int,
         path = os.path.join(cache_dir, key + ".npz")
         if os.path.exists(path):
             z = np.load(path)
-            frames = [(z["rgb"][i], z["depth"][i], z["dyn"][i])
-                      for i in range(z["rgb"].shape[0])]
+            # Materialize each array ONCE: NpzFile re-decompresses the
+            # whole member on EVERY subscript, and each slice then pins
+            # its own full-size parent — on a 300-frame sequence that is
+            # ~25 minutes and >100 GB of host RSS (measured) instead of
+            # ~2 s and ~400 MB.
+            rgb, depth, dyn = z["rgb"], z["depth"], z["dyn"]
+            frames = [(rgb[i], depth[i], dyn[i])
+                      for i in range(rgb.shape[0])]
             return frames, z["gt"]
         frames, gt = make_adversarial_sequence(config, n_frames, profile,
                                                sensor, seed, cache_dir=None)

@@ -97,6 +97,45 @@ class SlamSystem:
         # Here the transition is a logged, recorded event, not a silent
         # state (tests/test_archive.py pins it).
         self.capacity_events: List[dict] = []
+        # Host-memory guard for long runs through the axon tunnel: the
+        # remote-TPU client retains large host-side allocations per
+        # compiled executable/dispatch (measured: a 60-frame F=4 corridor
+        # run grows the host RSS to ~7.6 GB; a 300-frame run exceeded
+        # 100 GB before completing — the same pathology
+        # tests/conftest.py's per-module clear_caches works around).
+        # When set, jax.clear_caches() runs every N processed frames; hot
+        # programs reload from the persistent compile cache, so the cost
+        # is deserialization, not recompilation.  0 = off (default; CPU
+        # tests and short runs don't need it).
+        self.clear_caches_every = 0
+        self._frames_since_clear = 0
+        # Fixed-tier execution: pin the live map to config.fusion.capacity
+        # and the archive to `archive_capacity`, so the WHOLE run compiles
+        # ~15 distinct programs once instead of a new program per tier
+        # combination.  Exploration scenes (corridor) otherwise churn
+        # tiers every few chunks; through the axon tunnel every fresh
+        # compile costs minutes and leaks GBs of host RSS (the persistent
+        # compile cache does not serialize for this backend — measured: a
+        # warm rerun compiles just as long as a cold one), so a 300-frame
+        # corridor run never finished.  Fixed tiers trade ≤2x indexed-row
+        # slack for a bounded program set; adaptive tiering (default)
+        # remains the right choice on backends with working caches.
+        self.fixed_tiers = False
+        self.archive_capacity = 1 << 20
+        # Per-chunk progress/RSS telemetry for long batch runs
+        # (SF_PROGRESS=1 or set directly; used to diagnose tunnel-side
+        # memory behavior on 300+-frame runs).
+        import os as _os
+
+        self._progress = bool(_os.environ.get("SF_PROGRESS"))
+
+    def _maybe_clear_caches(self, n_frames: int):
+        if self.clear_caches_every <= 0:
+            return
+        self._frames_since_clear += n_frames
+        if self._frames_since_clear >= self.clear_caches_every:
+            self._frames_since_clear = 0
+            jax.clear_caches()
 
     def _maybe_resize_map(self):
         self._frames_since_resize_check += 1
@@ -111,13 +150,26 @@ class SlamSystem:
         n_stale = int(jnp.sum(stale.astype(jnp.int32)))
         count = int(smap.count()) - n_stale
         if n_stale >= self.archive_min_batch:
-            extracted = compact_map(smap, next_tier(n_stale),
-                                    keep_mask=stale)
-            self.archive = (extracted if self.archive is None else
-                            compact_map(
-                                concat_maps(self.archive, extracted),
-                                next_tier(int(self.archive.count())
-                                          + n_stale)))
+            # Extraction tier: the live-map shape in fixed mode (one
+            # compiled program), the smallest fitting tier otherwise.
+            ext_tier = (smap.capacity if self.fixed_tiers
+                        else next_tier(n_stale))
+            extracted = compact_map(smap, ext_tier, keep_mask=stale)
+            if self.fixed_tiers:
+                A = self.archive_capacity
+                if int(self.archive.count() if self.archive is not None
+                       else 0) + n_stale > A:
+                    print("[map] archive at fixed capacity "
+                          f"({A}); oldest stale surfels drop", flush=True)
+                self.archive = compact_map(
+                    extracted if self.archive is None else
+                    concat_maps(self.archive, extracted), A)
+            else:
+                self.archive = (extracted if self.archive is None else
+                                compact_map(
+                                    concat_maps(self.archive, extracted),
+                                    next_tier(int(self.archive.count())
+                                              + n_stale)))
             keep_fresh = ~stale
         else:
             count += n_stale  # small stale residue stays in the live map
@@ -126,7 +178,8 @@ class SlamSystem:
         per_frame = (cam.height * cam.width + 3) // 4  # checkerboard bound
         headroom = count // 4 + self.resize_check_interval * per_frame // 4
         want = max(4096, next_tier(count + headroom))
-        tier = min(self.config.fusion.capacity, want)
+        tier = (self.config.fusion.capacity if self.fixed_tiers
+                else min(self.config.fusion.capacity, want))
         if want > self.config.fusion.capacity and not self.capacity_events:
             # One logged transition: from here on, frames may drop
             # new-surfel inserts whenever the live count leaves no free
@@ -187,6 +240,7 @@ class SlamSystem:
         else:
             self.state, out = slam_step(self.state, frame, self.config)
         self._maybe_resize_map()
+        self._maybe_clear_caches(1)
         if self._kf_db is not None:
             out = self._maybe_close_loop(frame, out)
         # Keep outputs on device: host round-trips are expensive (and on the
@@ -280,6 +334,17 @@ class SlamSystem:
             i += k
             self._frames_since_resize_check = self.resize_check_interval
             self._maybe_resize_map()
+            self._maybe_clear_caches(k)
+            if self._progress:
+                import os as _os
+
+                with open(f"/proc/{_os.getpid()}/status") as f:
+                    rss = next((int(l.split()[1]) // 1024 for l in f
+                                if l.startswith("VmRSS")), -1)
+                print(f"[batch] frame {i}/{n} tier={self.state.smap.capacity}"
+                      f" archive={0 if self.archive is None else self.archive.capacity}"
+                      f" closures={len(self.loop_closures)} rss={rss}MB"
+                      f" dt={dt:.2f}s", flush=True)
         return jnp.concatenate(probs) if probs else None
 
     def _maybe_close_loop(self, frame: Frame, out: StepOutputs):
@@ -333,7 +398,33 @@ class SlamSystem:
                 db.intensity[k], db.depth[k], inten, depth, self.config,
                 T_init=T0)
             T, resid = (T_a, r_a) if float(r_a) <= float(r_b) else (T_b, r_b)
-            if float(resid) < lc.max_residual:
+            # Drift-budget plausibility gate: the correction this closure
+            # implies is the gap between the chain-predicted relative
+            # (T0) and the measured one; genuine closures correct
+            # accumulated drift, which grows with time, so the allowance
+            # scales with the temporal gap.  Z-aliased corridor matches
+            # demand meters of "correction" minutes after their keyframe
+            # — physically impossible drift — while scoring joint
+            # residuals inside the verification gate (side-wall depth is
+            # z-shift-invariant; see LoopClosureConfig.max_drift_rate
+            # calibration).
+            gap_frames = max(1, n - int(db.frame_idx[k]))
+            correction_m = float(np.linalg.norm(
+                np.asarray(T0)[:3, 3] - np.asarray(T)[:3, 3]))
+            budget_m = lc.max_drift_rate * gap_frames + 0.05
+            # Dual-init agreement, required only when the implied
+            # correction is large: a genuine same-place revisit has true
+            # relative ~ identity, so the identity-init and
+            # chain-predicted-init solves converge to the SAME transform;
+            # a z-aliased pair pulls them to different period solutions.
+            # Costs nothing — both solves already ran.  Small corrections
+            # skip the check (identity may be out of basin for genuine
+            # wide-baseline pairs, but those imply small corrections).
+            agree_m = float(np.linalg.norm(
+                np.asarray(T_a)[:3, 3] - np.asarray(T_b)[:3, 3]))
+            plausible = (correction_m <= budget_m
+                         and (correction_m <= 0.3 or agree_m < 0.15))
+            if float(resid) < lc.max_residual and plausible:
                 pose_before = np.asarray(pose)
                 pose, db = self._apply_graph_correction(
                     db, pose, n, k, T, lc.loop_weight)
@@ -342,6 +433,13 @@ class SlamSystem:
                 self.loop_closures.append({
                     "frame": n, "keyframe": int(db.frame_idx[k]),
                     "fp_dist": float(dist), "residual": float(resid),
+                    # The measured constraint itself (current -> keyframe):
+                    # lets evidence JSONs / tests check each accepted
+                    # closure against ground truth (a false closure has a
+                    # T that disagrees with the true relative pose).
+                    "T_rel": np.asarray(T).tolist(),
+                    "correction_m": correction_m,
+                    "budget_m": budget_m,
                     "gap_m": float(np.linalg.norm(
                         np.asarray(pose)[:3, 3] - pose_before[:3, 3]))})
         if (not closed and lc.smooth_skip > 0

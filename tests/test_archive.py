@@ -58,6 +58,30 @@ def test_archive_is_exact_and_lossless():
     assert ((tick - lt[valid]) > CONFIG.fusion.time_delta).all()
 
 
+def test_fixed_tiers_is_exact():
+    """Fixed-tier execution (SlamSystem.fixed_tiers — the bounded-compile
+    mode long tunnel runs use) must match adaptive tiering: same
+    trajectory (to reassociation tolerance) and no surfel lost."""
+    frames, gt = synthetic.make_sequence(CONFIG, N, TWIST)
+    base = SlamSystem(CONFIG, resize_check_interval=4)
+    base.archive_min_batch = 32
+    fixed = SlamSystem(CONFIG, resize_check_interval=4)
+    fixed.archive_min_batch = 32
+    fixed.fixed_tiers = True
+    fixed.archive_capacity = 1 << 15
+    for i, (rgb, depth_mm, _) in enumerate(frames):
+        base.process(rgb, depth_mm, i / 30.0)
+        fixed.process(rgb, depth_mm, i / 30.0)
+    base._materialize_poses()
+    fixed._materialize_poses()
+    for pa, pb in zip(base.poses, fixed.poses):
+        np.testing.assert_allclose(pa, pb, atol=1e-3)
+    assert abs(fixed.total_surfels() - base.total_surfels()) <= \
+        max(2, base.total_surfels() // 1000)
+    # The live map really is pinned to the configured capacity.
+    assert fixed.state.smap.capacity == CONFIG.fusion.capacity
+
+
 def test_capacity_wall_is_defined_and_logged(capsys):
     """Fill a deliberately tiny map: the system must keep tracking (no
     crash, finite poses), never exceed capacity, and surface the wall as

@@ -20,6 +20,19 @@ CONFIG = SFConfig(camera=CameraConfig(width=160, height=120),
 TWIST = np.array([0.004, -0.002, 0.006, 0.0015, -0.001, 0.002], np.float32)
 
 
+@pytest.fixture(autouse=True)
+def _clear_caches_per_test():
+    """This module runs several full-pipeline e2e tests; their combined
+    compiled-executable mmaps exceed vm.max_map_count within ONE module
+    (the suite-wide per-module clear in conftest.py is not enough here —
+    observed SIGSEGV in backend_compile).  Recompiles are cheap via the
+    persistent disk cache."""
+    import jax
+
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="module")
 def frames():
     frames, gt = synthetic.make_sequence(CONFIG, 6, TWIST)
@@ -270,6 +283,95 @@ def test_deform_map_piecewise_rigid():
     # Normals rotate with their segment.
     np.testing.assert_allclose(np.asarray(out.normal)[2], Rz @ [0, 0, 1],
                                atol=1e-5)
+
+
+def test_corridor_exploration_closure_gate():
+    """CI gate for the exploration-loop-closure claim (VERDICT round 4 #1):
+    on a corridor out-and-back — where frame-to-model tracking cannot
+    absorb drift because the outbound leg is continuously new territory —
+    closure-ON must (a) fire at least one closure, (b) fire ZERO false
+    closures (every accepted constraint is checked against ground truth),
+    and (c) beat closure-OFF on final-position error by a real margin.
+
+    This is the CPU-sized version of the committed chip evidence
+    (ACC_r5_corridor_*.json: 300 frames, QVGA, walker, 3 seeds); here the
+    corridor is short (3 m, 80 frames, 160x120, no walker) so the suite
+    stays tractable, and the gate pins the MECHANISM: exploration drift
+    exists, the revisit is detected, verification rejects nothing
+    genuine, and the pose-graph correction lands."""
+    from staticfusion_tpu.io import adversarial as adv
+    from staticfusion_tpu.pipeline.system import SlamSystem
+
+    n = 80
+    # min_gap spans the outbound leg: at this mini scale the corridor's
+    # anti-aliasing chirp is weak enough that an outbound self-match 1.2 m
+    # down-corridor can score ~0.039 joint residual (just under the
+    # production 0.04 gate) — the gate run therefore only matches
+    # return-leg -> outbound pairs, and tightens the residual gate to the
+    # measured genuine-revisit band (<0.03 at this scale).  The committed
+    # 300-frame chip runs keep the production config; their chirp scale
+    # rejects z-aliases at ~0.14 (see io/adversarial._texture_corridor).
+    cfg = CONFIG.replace(loop=LoopClosureConfig(
+        enabled=True, kf_interval=4, capacity=32, min_gap=36,
+        max_fp_dist=0.3, max_residual=0.03))
+    # Hand-build the corridor sequence at test scale (the corridor_loop
+    # profile hard-codes the 8 m / 300-frame geometry).
+    import jax.numpy as jnp2
+
+    twists = adv.trajectory_corridor_loop(n, depth=3.0)
+    planes = adv.corridor_planes(length=6.0)
+    spheres = adv.corridor_clutter(length=6.0)
+    rng = np.random.default_rng(0)
+    sensor = adv.SensorModel()
+    pose = np.eye(4, dtype=np.float32)
+    frames, gt = [], []
+    for i in range(n):
+        frames.append(adv.render_adversarial_frame(
+            pose, cfg, i, spheres, planes=planes, sensor=sensor, rng=rng,
+            texture_fn=adv._texture_corridor))
+        gt.append(pose.copy())
+        dT = np.asarray(se3.se3_exp(jnp2.asarray(twists[i])))
+        pose = (pose @ dT).astype(np.float32)
+    gt = np.stack(gt)
+    rgbs = [f[0] for f in frames]
+    depths = [f[1] for f in frames]
+    ts = [i / 30.0 for i in range(n)]
+
+    off = SlamSystem(cfg.replace(loop=LoopClosureConfig(enabled=False)))
+    off.process_batch(rgbs, depths, ts)
+    off._materialize_poses()
+
+    on = SlamSystem(cfg)
+    on.process_batch(rgbs, depths, ts)
+    on._materialize_poses()
+
+    # (a) the revisit leg must produce closures.
+    assert len(on.loop_closures) >= 1, "no closure fired on the corridor"
+    # (b) zero FALSE closures: every accepted constraint agrees with the
+    # ground-truth relative pose of the pair it claims to link.
+    for c in on.loop_closures:
+        i_kf, i_cur = c["keyframe"], c["frame"]
+        gt_rel = np.linalg.inv(gt[i_kf]) @ gt[i_cur]
+        assert c["residual"] < cfg.loop.max_residual
+        # False closure = the accepted constraint disagrees with the true
+        # relative pose of the pair (a z-aliased corridor match would be
+        # off by meters; forward-facing pairs a meter apart with correct
+        # T are GENUINE constraints — gap size is not falseness).
+        T_err = np.linalg.norm(
+            np.asarray(c["T_rel"])[:3, 3] - gt_rel[:3, 3])
+        # Catastrophic (z-aliased) corridor matches err by METERS (the
+        # measured alias at this scale was 1.12 m); genuine revisits
+        # solve to centimeters with a soft tail along the corridor axis
+        # (weak chirp at mini scale: up to ~0.16 m observed).  0.5 m
+        # cleanly separates the failure mode this gate exists to catch.
+        assert T_err < 0.5, f"false closure: T off by {T_err:.3f} m ({c})"
+    err_off = np.linalg.norm(off.poses[-1][:3, 3] - gt[-1][:3, 3])
+    err_on = np.linalg.norm(on.poses[-1][:3, 3] - gt[-1][:3, 3])
+    print(f"\ncorridor gate: err_off={err_off:.4f} err_on={err_on:.4f} "
+          f"closures={[(c['keyframe'], c['frame']) for c in on.loop_closures]}")
+    # (c) closure removes most of the endpoint drift (margin tuned to the
+    # measured CPU-run distribution; see module git history).
+    assert err_on < max(0.6 * err_off, 0.02), (err_on, err_off)
 
 
 def test_no_false_closure_without_revisit():
