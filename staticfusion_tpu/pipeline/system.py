@@ -424,6 +424,13 @@ class SlamSystem:
                 np.asarray(T_a)[:3, 3] - np.asarray(T_b)[:3, 3]))
             plausible = (correction_m <= budget_m
                          and (correction_m <= 0.3 or agree_m < 0.15))
+            if self._progress:
+                print(f"[loop] cand kf{int(db.frame_idx[k])}->fr{n}: "
+                      f"fp={float(dist):.4f} resid={float(resid):.4f}"
+                      f"/{lc.max_residual} corr={correction_m:.3f}"
+                      f"/{budget_m:.2f} agree={agree_m:.3f} -> "
+                      f"{'ACCEPT' if float(resid) < lc.max_residual and plausible else 'reject'}",
+                      flush=True)
             if float(resid) < lc.max_residual and plausible:
                 pose_before = np.asarray(pose)
                 pose, db = self._apply_graph_correction(

@@ -72,6 +72,38 @@ def test_walk_xyz_ate_and_iou_f4_default():
     assert iou is not None and iou > 0.55, f"segmentation IoU {iou}"
 
 
+def test_vga_routed_fusion_adversarial():
+    """The VGA headline config (res_factor=1, F=1, route auto->2): routed
+    fusion — native-VGA solver over a QVGA-grid map fuse — must hold its
+    measured band on the adversarial walker world.  Round-5 chip A/B
+    (ACC_r5_vga_*.json, 100 frames, 3 seeds): routed ATE 0.016-0.022 /
+    IoU 0.72-0.77 vs full-VGA-grid ATE 0.21-0.23 / IoU 0.29-0.33 — the
+    routed default is both 1.9x faster AND ~10x more accurate, so this
+    gate pins the shipped mode (generous margins for CPU compile
+    variance and the short window)."""
+    config = SFConfig(camera=CameraConfig(width=640, height=480),
+                      fusion=FusionConfig(capacity=1 << 20, index_factor=1))
+    n = 16
+    frames, gt = adv.make_adversarial_sequence(config, n, "walk_xyz",
+                                               seed=0)
+    slam = SlamSystem(config)
+    rgbs = [f[0] for f in frames]
+    depths = [f[1] for f in frames]
+    dyns = [f[2] for f in frames]
+    ts = [i / 30.0 for i in range(n)]
+    probs = np.asarray(slam.process_batch(rgbs, depths, ts,
+                                          collect_prob=True))
+    ious = []
+    for i in range(1, n):
+        if i >= config.buffer_length and dyns[i].sum() > 50:
+            ious.append(adv.dynamic_iou(probs[i - 1], dyns[i], depths[i]))
+    ate = slam.ate(np.arange(n) / 30.0, gt)
+    assert config.fusion.route_factor == 0  # auto: QVGA-capped fuse grid
+    assert ate < 0.1, f"VGA routed ATE {ate:.4f} beyond the measured band"
+    assert ious and float(np.mean(ious)) > 0.35, \
+        f"VGA routed IoU {np.mean(ious) if ious else None}"
+
+
 def test_fast_rotation_ate():
     """~1.7 deg/frame yaw with sensor noise: the regime where
     large-inter-frame-motion warp error shows up first."""

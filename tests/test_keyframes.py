@@ -311,9 +311,15 @@ def test_corridor_exploration_closure_gate():
     # measured genuine-revisit band (<0.03 at this scale).  The committed
     # 300-frame chip runs keep the production config; their chirp scale
     # rejects z-aliases at ~0.14 (see io/adversarial._texture_corridor).
+    # max_drift_rate is the regime knob: this mini corridor's fast dolly
+    # (0.075 m/frame) drives z-treadmill drift at ~0.05 m/frame
+    # (measured: genuine candidates demand 1.5-3.5 m corrections with
+    # dual-init agreement 0.001-0.08), so the budget must be sized for
+    # the exploration regime the test exercises; the production default
+    # (0.02) protects low-drift runs.
     cfg = CONFIG.replace(loop=LoopClosureConfig(
         enabled=True, kf_interval=4, capacity=32, min_gap=36,
-        max_fp_dist=0.3, max_residual=0.03))
+        max_fp_dist=0.3, max_residual=0.03, max_drift_rate=0.08))
     # Hand-build the corridor sequence at test scale (the corridor_loop
     # profile hard-codes the 8 m / 300-frame geometry).
     import jax.numpy as jnp2
