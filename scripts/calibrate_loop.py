@@ -95,10 +95,14 @@ def main():
     print(f"aliased-pair residual       : {r_alias:.4f}")
     print(f"-> max_fp_dist in ({pos_fp:.1e}, {neg_fp:.1e}); default 5e-3 "
           "sits just above the worst genuine revisit.")
-    print(f"-> max_residual in ({pos_r:.1e}, {r_alias:.1e}); default 0.04 "
-          "keeps two orders of margin over genuine matches while rejecting "
-          "aliased geometry (the residual gate is the defense the fp gate "
-          "cannot give).")
+    print(f"-> max_residual in ({pos_r:.1e}, {r_alias:.1e}); default 0.03 "
+          "keeps margin over genuine matches while rejecting aliased "
+          "geometry here.  NOTE (round 5): in self-similar corridors the "
+          "genuine and aliased residual populations OVERLAP, so the "
+          "residual gate alone is insufficient — the drift-budget and "
+          "dual-init agreement gates (LoopClosureConfig.max_drift_rate, "
+          "pipeline/system.py) are the discriminating defenses there; "
+          "see ACCURACY.md round 5.")
 
 
 if __name__ == "__main__":
